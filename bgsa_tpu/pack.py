@@ -1,0 +1,107 @@
+"""Symbol mapping and Eq bitvector packing.
+
+The reference packs each subject into per-character match bitvectors Eq[c]
+("handle_reads", ``/root/reference/original/BGSA_CPU/global.c:25-70``), using
+``word_size - 1`` usable bits per word (the top bit is reserved so the Myers
+add cannot carry across words) unless the scheme needs full words
+(semi-global). We do the same with uint32 words — 31 usable bits on the
+reserved-carry path, 32 on the full-bit path — but the packing itself runs
+vectorized (NumPy on host or JAX on device) instead of an OpenMP char loop.
+
+Layouts:
+  * functional API: ``eq[c, w, s]`` — character plane, word index, subject.
+  * TPU kernels view the subject axis as ``(rows, 128)`` lanes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CHAR_NUM = 5  # A C G T N, as in the reference (CHAR_NUM, config.h)
+PAD_CODE = 255  # matches no character plane
+
+# Characters outside ACGTN map to 0 ('A'), matching the reference's
+# zero-initialized mapping table (global.c:6-15).
+MAPPING = np.zeros(256, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    MAPPING[_c] = _i
+MAPPING[ord("N")] = 4
+
+
+def encode_ascii(buf: np.ndarray) -> np.ndarray:
+    """Map ASCII bytes (any shape) to symbol codes 0..4."""
+    return MAPPING[np.asarray(buf, dtype=np.uint8)]
+
+
+def word_count(length: int, word_bits: int) -> int:
+    """Number of uint words covering ``length`` subject positions."""
+    return -(-length // word_bits)
+
+
+def pack_eq(codes: np.ndarray, word_bits: int = 31) -> np.ndarray:
+    """Pack subject codes into Eq planes.
+
+    Args:
+      codes: (S, L) integer symbol codes 0..4.
+      word_bits: usable bits per 32-bit word (31 reserved-carry, 32 full).
+
+    Returns:
+      (CHAR_NUM, W, S) uint32 — bit b of eq[c, w, s] is set iff
+      codes[s, w*word_bits + b] == c.
+    """
+    codes = np.atleast_2d(np.asarray(codes))
+    S, L = codes.shape
+    W = word_count(L, word_bits)
+    padded = np.full((S, W * word_bits), PAD_CODE, dtype=np.int16)
+    padded[:, :L] = codes
+    padded = padded.reshape(S, W, word_bits)
+    weights = (np.uint32(1) << np.arange(word_bits, dtype=np.uint32))
+    eq = np.zeros((CHAR_NUM, W, S), dtype=np.uint32)
+    for c in range(CHAR_NUM):
+        # Distinct powers of two: plain sum assembles the word without carries.
+        eq[c] = np.sum((padded == c) * weights, axis=2, dtype=np.uint32).T
+    return eq
+
+
+def unpack_eq(eq: np.ndarray, length: int, word_bits: int = 31) -> np.ndarray:
+    """Inverse of pack_eq (testing aid): (C, W, S) -> (S, length) codes."""
+    C, W, S = eq.shape
+    bits = np.arange(word_bits, dtype=np.uint32)
+    # (C, W, S, word_bits) -> (C, S, W*word_bits)
+    planes = ((eq[..., None] >> bits) & 1).transpose(0, 2, 1, 3).reshape(C, S, W * word_bits)
+    codes = np.full((S, W * word_bits), PAD_CODE, dtype=np.int16)
+    for c in range(C):
+        codes[planes[c] == 1] = c
+    return codes[:, :length]
+
+
+def pack_eq_jax(codes, word_bits: int = 31):
+    """Device-side Eq packing (jit-friendly; shapes static).
+
+    Args:
+      codes: (S, L) int32/uint8 symbol codes on device.
+    Returns:
+      (CHAR_NUM, W, S) uint32.
+    """
+    import jax.numpy as jnp
+
+    S, L = codes.shape
+    W = word_count(L, word_bits)
+    pad = W * word_bits - L
+    c16 = jnp.asarray(codes, jnp.int32)
+    if pad:
+        c16 = jnp.pad(c16, ((0, 0), (0, pad)), constant_values=PAD_CODE)
+    c16 = c16.reshape(S, W, word_bits)
+    weights = jnp.uint32(1) << jnp.arange(word_bits, dtype=jnp.uint32)
+    chars = jnp.arange(CHAR_NUM, dtype=jnp.int32).reshape(CHAR_NUM, 1, 1, 1)
+    planes = (c16[None] == chars)  # (C, S, W, word_bits)
+    eq = jnp.sum(jnp.where(planes, weights, jnp.uint32(0)), axis=3, dtype=jnp.uint32)
+    return eq.transpose(0, 2, 1)  # (C, W, S)
+
+
+def encode_ascii_jax(ascii_bytes):
+    """Device-side ASCII -> code mapping."""
+    import jax.numpy as jnp
+
+    table = jnp.asarray(MAPPING)
+    return jnp.take(table, jnp.asarray(ascii_bytes, jnp.int32), axis=0)

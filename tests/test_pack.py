@@ -1,0 +1,38 @@
+import numpy as np
+
+from bgsa_tpu import pack
+
+
+def test_encode_ascii():
+    got = pack.encode_ascii(np.frombuffer(b"ACGTNX\n", dtype=np.uint8))
+    np.testing.assert_array_equal(got, [0, 1, 2, 3, 4, 0, 0])
+
+
+def test_pack_roundtrip(rng):
+    for word_bits in (31, 32):
+        for L in (5, 31, 32, 33, 95, 100):
+            codes = rng.integers(0, 5, size=(6, L))
+            eq = pack.pack_eq(codes, word_bits)
+            assert eq.shape == (5, pack.word_count(L, word_bits), 6)
+            back = pack.unpack_eq(eq, L, word_bits)
+            np.testing.assert_array_equal(back, codes)
+
+
+def test_pack_matches_reference_layout():
+    # One subject "ACGT" in a 31-bit word: bit b set in plane of char at b.
+    eq = pack.pack_eq(np.array([[0, 1, 2, 3]]), 31)
+    assert eq[0, 0, 0] == 0b0001
+    assert eq[1, 0, 0] == 0b0010
+    assert eq[2, 0, 0] == 0b0100
+    assert eq[3, 0, 0] == 0b1000
+    assert eq[4, 0, 0] == 0
+
+
+def test_pack_jax_matches_numpy(rng):
+    import jax
+
+    codes = rng.integers(0, 5, size=(4, 70)).astype(np.int32)
+    for word_bits in (31, 32):
+        want = pack.pack_eq(codes, word_bits)
+        got = np.asarray(jax.jit(pack.pack_eq_jax, static_argnames="word_bits")(codes, word_bits))
+        np.testing.assert_array_equal(got, want)
