@@ -1,0 +1,142 @@
+"""Myers bit-vector edit distance as a Pallas TPU kernel.
+
+TPU-native equivalent of the reference's generated SIMD kernels
+(``/root/reference/original/BGSA_SSE/align_core.c:19-152``), re-designed for
+the VPU instead of translated:
+
+* the reference's "SIMD lane" axis (V_NUM subjects per register) becomes the
+  (sublane, lane) = (R, 128) tile axis — LANE_BLOCK subjects per grid block;
+* the reference's OpenMP (query x subject-chunk) tiling becomes the Pallas
+  grid (subject_block, query), ordered so a subject block's Eq planes stay
+  resident in VMEM across all queries (its cache-blocking trick, but managed
+  by the pipeline, not by hand);
+* one query character per `fori_loop` step: a scalar read from SMEM indexes
+  the Eq character plane with a dynamic slice; the multi-word carry chain is
+  unrolled at trace time (word_num is static).
+
+Bit semantics are identical to the reference (31 usable bits per uint32 word,
+reserved top carry bit, HP/HN cross-word shift chain, score bit at
+``(read_len-1) % 31`` of the last word), so scores match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WORD_BITS = 31
+LANES = 128
+# Sublane rows per grid block (128 -> 16384 subjects/block). The column
+# recurrence is one serial dependency chain; wide tiles are what fill the VPU
+# pipeline (measured on v5e: R=16 -> 174 GCUPS, R=128 -> ~1.4 TCUPS).
+DEFAULT_ROWS = 128
+
+
+def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len):
+    """One (subject_block, query) grid cell.
+
+    q_ref:  SMEM (1, 1, q_len) int32 — this query's symbol codes.
+    eq_ref: VMEM (5, W, R, LANES) uint32 — this block's Eq planes.
+    out_ref: VMEM (1, R, LANES) int32 — scores.
+    """
+    W, R = eq_ref.shape[1], eq_ref.shape[2]
+    carry_mask = jnp.uint32((1 << word_bits) - 1)
+    maskh = jnp.uint32(1 << ((read_len - 1) % word_bits))
+    tile = (R, LANES)
+
+    def column(i, state):
+        vp, vn, score = state  # (W, R, L), (W, R, L), (R, L)
+        c = q_ref[0, 0, i]
+        eq_c = eq_ref[c]  # dynamic index on the character plane
+        hp_shift = jnp.ones(tile, jnp.uint32)
+        hn_shift = jnp.zeros(tile, jnp.uint32)
+        add_carry = jnp.zeros(tile, jnp.uint32)
+        new_vp = []
+        new_vn = []
+        for j in range(W):
+            pm = eq_c[j] | vn[j]
+            s = (vp[j] & pm) + vp[j] + add_carry
+            add_carry = s >> word_bits
+            d0 = ((s & carry_mask) ^ vp[j]) | pm
+            hp = ~(d0 | vp[j]) | vn[j]
+            hn = d0 & vp[j]
+            if j == W - 1:
+                hn_hit = (hn & maskh) != 0
+                hp_hit = (hp & maskh) != 0
+                score = score - hn_hit.astype(jnp.int32)
+                score = score + jnp.logical_and(hp_hit, jnp.logical_not(hn_hit)).astype(jnp.int32)
+            hp = (hp << 1) | hp_shift
+            hp_shift = hp >> word_bits
+            hn = (hn << 1) | hn_shift
+            hn_shift = hn >> word_bits
+            new_vp.append((~(d0 | hp) | hn) & carry_mask)
+            new_vn.append((d0 & hp) & carry_mask)
+        return jnp.stack(new_vp), jnp.stack(new_vn), score
+
+    vp0 = jnp.full((W,) + tile, carry_mask)
+    vn0 = jnp.zeros((W,) + tile, jnp.uint32)
+    score0 = jnp.full(tile, read_len, jnp.int32)
+    _, _, score = lax.fori_loop(0, q_len, column, (vp0, vn0, score0))
+    out_ref[0] = score * jnp.int32(factor)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("read_len", "word_bits", "factor", "rows_per_block", "interpret"),
+)
+def myers_global(
+    eq,
+    queries,
+    *,
+    read_len: int,
+    word_bits: int = WORD_BITS,
+    factor: int = -1,
+    rows_per_block: int = DEFAULT_ROWS,
+    interpret: bool = False,
+):
+    """Global unit-cost Myers scores on TPU.
+
+    Args:
+      eq: (5, W, S) uint32 packed subjects; S must be a multiple of 128.
+      queries: (Q, m) int32 query codes.
+    Returns:
+      (Q, S) int32 scores (= factor * edit_distance).
+    """
+    C, W, S = eq.shape
+    Q, m = queries.shape
+    if S % LANES:
+        raise ValueError(f"subject count {S} must be a multiple of {LANES}")
+    rows = S // LANES
+    r = min(rows_per_block, rows)
+    while rows % r:
+        r -= 1
+    nb = rows // r
+    eq4 = eq.reshape(C, W, rows, LANES)
+
+    grid = (nb, Q)  # query fastest -> Eq block stays resident across queries
+    flops_per_cell = 20
+    cost = pl.CostEstimate(
+        flops=flops_per_cell * Q * m * W * S,
+        bytes_accessed=eq.size * 4 + Q * S * 4,
+        transcendentals=0,
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, read_len=read_len, word_bits=word_bits, factor=factor, q_len=m
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda b, q: (q, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, W, r, LANES), lambda b, q: (0, 0, b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Q, rows, LANES), jnp.int32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(queries.astype(jnp.int32)[:, None, :], eq4)
+    return out.reshape(Q, S)
