@@ -1,0 +1,99 @@
+"""Command-line interface, flag-compatible with the reference binaries.
+
+``bgsa-align`` mirrors ``./aligner`` (``original/BGSA_CPU/main.c:19-99``):
+``-q`` query file, ``-d`` database file, ``-f`` result file (default
+``data/result.txt``), ``-N`` host threads (accepted; the TPU pipeline keeps a
+single reader thread), banded adds ``-k``. Scoring flags ``-M/-I/-G`` select
+the scheme at run time (the reference bakes them in at codegen time).
+
+``bgsa-convert`` mirrors ``./convert``: ``-f`` FASTA, ``-q`` FASTQ, ``-r``
+result-to-text, ``-o`` output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .schemes import Mode, Scoring
+
+
+def align_main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="bgsa-align", description=__doc__)
+    p.add_argument("-q", dest="query", required=True, help="query file (fixed-length lines)")
+    p.add_argument("-d", dest="database", required=True, help="database file")
+    p.add_argument("-f", dest="result", default="data/result.txt", help="result file")
+    p.add_argument("-N", dest="threads", type=int, default=0, help="host threads (compat)")
+    p.add_argument("-k", dest="threshold", type=int, default=None, help="banded error threshold")
+    p.add_argument("-M", dest="match", type=int, default=0, help="match score")
+    p.add_argument("-I", dest="mismatch", type=int, default=-1, help="mismatch score")
+    p.add_argument("-G", dest="gap", type=int, default=-1, help="gap score")
+    p.add_argument("--semi-global", action="store_true", help="semi-global mode")
+    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--bucket-size", type=int, default=None, help="database bucket bytes")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    from . import pipeline as pl_mod
+
+    out_dir = os.path.dirname(args.result)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    cfg_kwargs = {"backend": args.backend}
+    if args.bucket_size:
+        cfg_kwargs["bucket_size"] = args.bucket_size
+    config = pl_mod.PipelineConfig(**cfg_kwargs)
+    mode = Mode.SEMI_GLOBAL if args.semi_global else Mode.GLOBAL
+    scoring = Scoring(args.match, args.mismatch, args.gap)
+
+    if args.threshold is not None:
+        from .banded_pipeline import run_banded
+
+        stats = run_banded(args.query, args.database, args.result, args.threshold, config)
+    else:
+        stats = pl_mod.run_alignment(args.query, args.database, args.result, scoring, mode, config)
+    if not args.quiet:
+        print(f"score is {scoring.match}, {scoring.mismatch}, {scoring.gap}")
+        print(stats.report())
+    return 0
+
+
+def convert_main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="bgsa-convert")
+    p.add_argument("-f", dest="fasta", help="convert FASTA file")
+    p.add_argument("-q", dest="fastq", help="convert FASTQ file")
+    p.add_argument("-r", dest="result", help="convert binary result file to text")
+    p.add_argument("-o", dest="output", default="convert_result.txt", help="output file")
+    p.add_argument("--banded", action="store_true", help="result file holds int8 banded scores")
+    args = p.parse_args(argv)
+
+    from .io import fastx, result as result_io
+
+    if args.fasta:
+        fastx.convert_fasta(args.fasta, args.output)
+    elif args.fastq:
+        fastx.convert_fastq(args.fastq, args.output)
+    elif args.result:
+        dtype = np.int8 if args.banded else np.int16
+        result_io.convert_result(args.result, args.output, write_dtype=dtype)
+    else:
+        p.error("one of -f / -q / -r is required")
+    return 0
+
+
+def main(argv=None) -> int:
+    """``python -m bgsa_tpu.cli [align|convert] ...`` dispatcher."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "convert":
+        return convert_main(argv[1:])
+    if argv and argv[0] == "align":
+        argv = argv[1:]
+    return align_main(argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,35 @@
+"""FASTA/FASTQ -> fixed-length-line format converters.
+
+Functional equivalent of the reference ``convert -f`` / ``convert -q``
+(``/root/reference/original/BGSA_CPU/convert.c:33-165``): strip headers and
+(for FASTQ) quality lines, emit one sequence per line. Unlike the reference's
+byte-scanner, the FASTQ path parses proper 4-line records, so quality strings
+containing '@' don't corrupt the output.
+"""
+
+from __future__ import annotations
+
+
+def convert_fasta(input_path: str, output_path: str) -> None:
+    with open(input_path, "rb") as fin, open(output_path, "wb") as fout:
+        first = True
+        for line in fin:
+            if line.startswith(b">"):
+                if not first:
+                    fout.write(b"\n")
+                first = False
+                continue
+            fout.write(line.rstrip(b"\n"))
+        fout.write(b"\n")
+
+
+def convert_fastq(input_path: str, output_path: str) -> None:
+    with open(input_path, "rb") as fin, open(output_path, "wb") as fout:
+        while True:
+            header = fin.readline()
+            if not header:
+                break
+            seq = fin.readline().rstrip(b"\n")
+            fin.readline()  # '+'
+            fin.readline()  # quality
+            fout.write(seq + b"\n")

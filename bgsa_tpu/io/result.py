@@ -1,0 +1,123 @@
+"""BGSA-compatible binary result file and ``.info`` manifest.
+
+Formats (reverse-engineered from the writer ``cal_cpu.c:247-351`` and reader
+``convert.c:167-277`` in ``/root/reference/original/BGSA_CPU``):
+
+``<result>.info``::
+
+    int32   block_num            # number of database buckets
+    int32   total_device_number  # score shards per bucket (1 here)
+    int64   ref_count            # total query count
+    repeat block_num times:
+        int64 device_read_counts[total_device_number]
+        int32 extra_count        # all-'N' pad subjects in the last device shard
+
+``<result>`` (binary)::
+
+    for each database bucket j:          # file order
+      for each query bucket m (REF_BUCKET_COUNT queries):
+        for each device t:
+          write_t scores[bucket_query_count][device_read_counts[j][t]]
+
+``write_t`` is int16 for full alignment, int8 for banded (MAX_ERROR=127).
+
+``convert_result`` re-walks that layout and emits one decimal score per line
+in (query-major, original subject order), dropping pad subjects — identical
+output to the reference ``convert -r``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from .seqfile import REF_BUCKET_COUNT
+
+
+@dataclasses.dataclass
+class InfoData:
+    block_num: int
+    device_num: int
+    ref_count: int
+    device_read_counts: list[list[int]]  # [block][device]
+    extra_counts: list[int]  # [block]
+
+
+class ResultWriter:
+    """Streams score blocks + manifest, mirroring the reference's write order."""
+
+    def __init__(self, result_path: str, ref_count: int, block_num: int, device_num: int = 1,
+                 write_dtype=np.int16):
+        self.fp = open(result_path, "wb")
+        self.info_fp = open(result_path + ".info", "wb")
+        self.write_dtype = write_dtype
+        self.info_fp.write(struct.pack("<iiq", block_num, device_num, ref_count))
+        self.info_fp.flush()
+
+    def start_bucket(self, device_counts: list[int], extra_count: int) -> None:
+        """Record one database bucket's manifest entry (cal_cpu.c:350-352)."""
+        self.info_fp.write(struct.pack(f"<{len(device_counts)}qi", *device_counts, extra_count))
+        self.info_fp.flush()
+
+    def write_scores(self, scores: np.ndarray) -> None:
+        """Append one (query_bucket x subjects) score matrix, query-major."""
+        self.fp.write(np.ascontiguousarray(scores, dtype=self.write_dtype).tobytes())
+
+    def close(self) -> None:
+        self.fp.close()
+        self.info_fp.close()
+
+
+def read_info(info_path: str) -> InfoData:
+    with open(info_path, "rb") as f:
+        block_num, device_num, ref_count = struct.unpack("<iiq", f.read(16))
+        counts, extras = [], []
+        for _ in range(block_num):
+            row = struct.unpack(f"<{device_num}q", f.read(8 * device_num))
+            (extra,) = struct.unpack("<i", f.read(4))
+            counts.append(list(row))
+            extras.append(extra)
+    return InfoData(block_num, device_num, ref_count, counts, extras)
+
+
+def convert_result(result_path: str, out_path: str, write_dtype=np.int16,
+                   ref_bucket_count: int = REF_BUCKET_COUNT) -> None:
+    """Reference-identical ``convert -r``: blocked binary -> text scores."""
+    info = read_info(result_path + ".info")
+    data = np.memmap(result_path, dtype=write_dtype, mode="r")
+
+    # Per-(block, device) matrix offsets in the blocked file layout.
+    ref_buckets = []
+    start = 0
+    while start < info.ref_count:
+        end = min(start + ref_bucket_count, info.ref_count)
+        ref_buckets.append((start, end))
+        start = end
+    if not ref_buckets:
+        ref_buckets = [(0, 0)]
+
+    # offsets[j][(m, t)] -> element offset of that score matrix
+    offsets: dict[tuple[int, int, int], int] = {}
+    pos = 0
+    for j in range(info.block_num):
+        for m, (qs, qe) in enumerate(ref_buckets):
+            for t in range(info.device_num):
+                offsets[(j, m, t)] = pos
+                pos += (qe - qs) * info.device_read_counts[j][t]
+
+    with open(out_path, "w") as out:
+        for m, (qs, qe) in enumerate(ref_buckets):
+            for i in range(qs, qe):
+                for j in range(info.block_num):
+                    for t in range(info.device_num):
+                        cnt = info.device_read_counts[j][t]
+                        keep = cnt
+                        if t == info.device_num - 1:
+                            keep = cnt - info.extra_counts[j]
+                        base = offsets[(j, m, t)] + (i - qs) * cnt
+                        row = data[base : base + keep]
+                        out.write("\n".join(str(int(v)) for v in row))
+                        if keep:
+                            out.write("\n")

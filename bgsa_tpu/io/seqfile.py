@@ -1,0 +1,115 @@
+"""Readers for BGSA's plain sequence format: fixed-length lines, one per line.
+
+Reproduces the reference's bucketing semantics exactly
+(``/root/reference/original/BGSA_CPU/file.c:44-140``):
+
+* the database is read in buckets of ``bucket_size`` bytes; a partial trailing
+  line is pushed back, and the bucket's sequence count is trimmed *down* to a
+  multiple of ``v_num`` (the vector-lane pad unit), the remainder pushed back
+  too;
+* the final bucket is padded *up* to a multiple of ``v_num`` with all-'N'
+  sequences, and the pad count is reported as ``extra_count`` (recorded in the
+  ``.info`` file so the converter can drop the pad scores);
+* the query file is loaded whole and mapped to symbol codes.
+
+The reference's V_NUM is 1..16 depending on port; ours is the TPU lane pad
+(default 128). Pad choice does not affect converted output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from .. import pack
+
+DEFAULT_BUCKET_SIZE = 114857600  # READ_BUCKET_SIZE, reference config.h
+REF_BUCKET_COUNT = 100  # queries per compute tile, reference config.h
+
+
+def detect_line_length(path: str) -> int:
+    """Length of the first line (bytes before the first newline)."""
+    with open(path, "rb") as f:
+        chunk = f.read(1 << 20)
+    pos = chunk.find(b"\n")
+    if pos < 0:
+        return len(chunk)
+    return pos
+
+
+@dataclasses.dataclass
+class Bucket:
+    """One database bucket of equal-length subjects."""
+
+    codes: np.ndarray  # (count, length) uint8 symbol codes (pads included)
+    count: int  # sequences including pads
+    extra_count: int  # trailing all-'N' pad sequences (final bucket only)
+
+
+class DatabaseReader:
+    """Iterates subject buckets with reference-compatible boundaries."""
+
+    def __init__(self, path: str, bucket_size: int = DEFAULT_BUCKET_SIZE, v_num: int = 128):
+        self.path = path
+        self.v_num = v_num
+        self.length = detect_line_length(path)
+        self.stride = self.length + 1
+        self.total_size = os.path.getsize(path)
+        # Total sequence count; tolerate a missing trailing newline.
+        self.total_count = (self.total_size + self.length) // self.stride
+        if bucket_size >= self.total_size:
+            self.bucket_count = 1
+            self.seqs_per_bucket = self.total_count
+        else:
+            # Non-final buckets hold floor(bucket_size/stride) sequences,
+            # trimmed down to a v_num multiple (file.c:75-94).
+            per = bucket_size // self.stride
+            per -= per % v_num
+            if per <= 0:
+                raise ValueError("bucket_size too small for sequence length")
+            self.seqs_per_bucket = per
+            self.bucket_count = -(-self.total_count // per)
+
+    def __iter__(self):
+        remaining = self.total_count
+        with open(self.path, "rb") as f:
+            for b in range(self.bucket_count):
+                take = min(self.seqs_per_bucket, remaining)
+                remaining -= take
+                raw = f.read(take * self.stride)
+                if len(raw) < take * self.stride:  # missing final newline
+                    raw = raw + b"\n"
+                arr = np.frombuffer(raw, np.uint8).reshape(take, self.stride)[:, : self.length]
+                extra = 0
+                if b == self.bucket_count - 1 and take % self.v_num:
+                    extra = self.v_num - take % self.v_num
+                    pad = np.full((extra, self.length), ord("N"), np.uint8)
+                    arr = np.concatenate([arr, pad])
+                yield Bucket(pack.encode_ascii(arr), take + extra, extra)
+
+
+def read_queries(path: str) -> np.ndarray:
+    """Load the whole query file as (Q, m) symbol codes (file.c:117-140)."""
+    length = detect_line_length(path)
+    stride = length + 1
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw and not raw.endswith(b"\n"):
+        raw += b"\n"
+    count = len(raw) // stride
+    arr = np.frombuffer(raw[: count * stride], np.uint8).reshape(count, stride)[:, :length]
+    return pack.encode_ascii(arr)
+
+
+def write_seq_file(path: str, codes_or_ascii: np.ndarray) -> None:
+    """Write a (S, L) array of ASCII bytes (or codes 0..4) as fixed-length lines."""
+    arr = np.asarray(codes_or_ascii)
+    if arr.dtype != np.uint8 or arr.max(initial=0) < 5:
+        lut = np.frombuffer(b"ACGTN", np.uint8)
+        arr = lut[arr.astype(np.int64)]
+    nl = np.full((arr.shape[0], 1), ord("\n"), np.uint8)
+    with open(path, "wb") as f:
+        f.write(np.concatenate([arr, nl], axis=1).tobytes())

@@ -88,15 +88,19 @@ def pack_eq_jax(codes, word_bits: int = 31):
     S, L = codes.shape
     W = word_count(L, word_bits)
     pad = W * word_bits - L
-    c16 = jnp.asarray(codes, jnp.int32)
+    cw = jnp.asarray(codes, jnp.int32)
     if pad:
-        c16 = jnp.pad(c16, ((0, 0), (0, pad)), constant_values=PAD_CODE)
-    c16 = c16.reshape(S, W, word_bits)
-    weights = jnp.uint32(1) << jnp.arange(word_bits, dtype=jnp.uint32)
-    chars = jnp.arange(CHAR_NUM, dtype=jnp.int32).reshape(CHAR_NUM, 1, 1, 1)
-    planes = (c16[None] == chars)  # (C, S, W, word_bits)
-    eq = jnp.sum(jnp.where(planes, weights, jnp.uint32(0)), axis=3, dtype=jnp.uint32)
-    return eq.transpose(0, 2, 1)  # (C, W, S)
+        cw = jnp.pad(cw, ((0, 0), (0, pad)), constant_values=PAD_CODE)
+    cw = cw.reshape(S, W, word_bits)
+    # Build words bit by bit over (S, W) arrays: avoids materializing a
+    # (C, S, W, word_bits) one-hot intermediate for large batches.
+    planes = []
+    for c in range(CHAR_NUM):
+        w = jnp.zeros((S, W), jnp.uint32)
+        for b in range(word_bits):
+            w = w | ((cw[:, :, b] == c).astype(jnp.uint32) << b)
+        planes.append(w.T)
+    return jnp.stack(planes)  # (C, W, S)
 
 
 def encode_ascii_jax(ascii_bytes):

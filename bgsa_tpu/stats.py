@@ -1,0 +1,60 @@
+"""Run statistics and GCUPS accounting.
+
+Mirrors the reference's end-of-run report (``cal_cpu.c:459-475``):
+``cal GCUPS`` counts kernel time only, ``Total GCUPS`` is end-to-end, both
+with cells = ref_len * ref_count * read_len * subject_count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+
+@dataclasses.dataclass
+class RunStats:
+    query_len: int = 0
+    query_count: int = 0
+    subject_len: int = 0
+    subject_count: int = 0  # real subjects (pads excluded)
+    read_time: float = 0.0
+    pack_time: float = 0.0
+    cal_time: float = 0.0
+    write_time: float = 0.0
+    total_time: float = 0.0
+
+    @property
+    def cells(self) -> int:
+        return self.query_len * self.query_count * self.subject_len * self.subject_count
+
+    def gcups(self, seconds: float) -> float:
+        return self.cells / seconds / 1e9 if seconds > 0 else float("inf")
+
+    def report(self) -> str:
+        lines = [
+            f"read_total_time  is {self.read_time:.2f}s",
+            f"write_total_time is {self.write_time:.2f}s",
+            f"mem_total_time is   {self.pack_time:.2f}s",
+            "",
+            f"query_len    is {self.query_len}",
+            f"query_count  is {self.query_count}",
+            f"subject_len   is {self.subject_len}",
+            f"subject_count is {self.subject_count}",
+            "",
+            f"cal_total_times     is {self.cal_time:.2f}s",
+            f"total time          is {self.total_time:.2f}s",
+            f"cal GCUPS is {self.gcups(self.cal_time):.2f}",
+            f"Total GCUPS is {self.gcups(self.total_time):.2f}",
+        ]
+        return "\n".join(lines)
+
+
+class Timer:
+    def __init__(self):
+        self.t0 = time.perf_counter()
+
+    def lap(self) -> float:
+        now = time.perf_counter()
+        dt = now - self.t0
+        self.t0 = now
+        return dt

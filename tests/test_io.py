@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+from bgsa_tpu.io import result as result_io
+from bgsa_tpu.io import seqfile, fastx
+
+
+def write_lines(path, seqs):
+    with open(path, "w") as f:
+        for s in seqs:
+            f.write(s + "\n")
+
+
+def test_database_reader_single_bucket(tmp_path, rng):
+    seqs = ["".join(np.random.default_rng(i).choice(list("ACGT"), 10)) for i in range(5)]
+    path = tmp_path / "db.txt"
+    write_lines(path, seqs)
+    db = seqfile.DatabaseReader(str(path), v_num=4)
+    assert db.bucket_count == 1
+    buckets = list(db)
+    assert len(buckets) == 1
+    b = buckets[0]
+    # padded up to v_num multiple: 5 -> 8, extra 3 all-'N' rows
+    assert b.count == 8 and b.extra_count == 3
+    assert (b.codes[5:] == 4).all()
+    assert b.codes.shape == (8, 10)
+
+
+def test_database_reader_multi_bucket(tmp_path):
+    # 10 seqs of len 9 (stride 10); bucket_size 45 -> 4 per bucket, v_num 2 -> 4
+    seqs = ["ACGTACGTA"] * 10
+    path = tmp_path / "db.txt"
+    write_lines(path, seqs)
+    db = seqfile.DatabaseReader(str(path), bucket_size=45, v_num=2)
+    buckets = list(db)
+    assert [b.count for b in buckets] == [4, 4, 2]
+    assert [b.extra_count for b in buckets] == [0, 0, 0]
+    assert db.bucket_count == 3
+    # last bucket needing padding
+    db = seqfile.DatabaseReader(str(path), bucket_size=45, v_num=4)
+    buckets = list(db)
+    assert [b.count for b in buckets] == [4, 4, 4]
+    assert [b.extra_count for b in buckets] == [0, 0, 2]
+
+
+def test_read_queries_missing_trailing_newline(tmp_path):
+    path = tmp_path / "q.txt"
+    with open(path, "w") as f:
+        f.write("ACGT\nTTTT")  # no trailing newline
+    q = seqfile.read_queries(str(path))
+    np.testing.assert_array_equal(q, [[0, 1, 2, 3], [3, 3, 3, 3]])
+
+
+def test_result_roundtrip(tmp_path):
+    # 2 blocks of subjects (counts 6 and 4, last has 1 pad), 3 queries,
+    # ref_bucket_count=2 -> 2 query buckets
+    res = str(tmp_path / "r.bin")
+    w = result_io.ResultWriter(res, ref_count=3, block_num=2, device_num=1)
+    rng = np.random.default_rng(0)
+    blocks = [rng.integers(-100, 0, size=(3, 6)), rng.integers(-100, 0, size=(3, 4))]
+    extras = [0, 1]
+    for scores, extra in zip(blocks, extras):
+        w.start_bucket([scores.shape[1]], extra)
+        for qs in range(0, 3, 2):
+            w.write_scores(scores[qs : qs + 2])
+    w.close()
+
+    info = result_io.read_info(res + ".info")
+    assert info.block_num == 2 and info.ref_count == 3
+    assert info.device_read_counts == [[6], [4]]
+    assert info.extra_counts == [0, 1]
+
+    out = str(tmp_path / "conv.txt")
+    result_io.convert_result(res, out, ref_bucket_count=2)
+    got = np.loadtxt(out, dtype=np.int64)
+    # expected: query-major, blocks concatenated, pads dropped
+    want = np.concatenate([blocks[0], blocks[1][:, :3]], axis=1).ravel()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fasta_fastq(tmp_path):
+    fa = tmp_path / "in.fa"
+    fa.write_text(">s1 desc\nACGT\nACGT\n>s2\nTTTT\n")
+    out = tmp_path / "out.txt"
+    fastx.convert_fasta(str(fa), str(out))
+    assert out.read_text() == "ACGTACGT\nTTTT\n"
+
+    fq = tmp_path / "in.fq"
+    fq.write_text("@r1\nACGT\n+\n@@@@\n@r2\nGGGG\n+\nIIII\n")
+    fastx.convert_fastq(str(fq), str(out))
+    assert out.read_text() == "ACGT\nGGGG\n"

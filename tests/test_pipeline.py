@@ -1,0 +1,71 @@
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from bgsa_tpu import pipeline as pl_mod
+from bgsa_tpu.io import result as result_io
+from bgsa_tpu.io import seqfile
+from bgsa_tpu.oracle import edit_distances
+from bgsa_tpu.schemes import Mode, Scoring
+
+ALPHA = np.array(list("ACGT"))
+
+
+def make_files(tmp_path, rng, Q=3, m=40, S=10, n=50):
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    return qp, sp, q, s
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_end_to_end_matches_oracle(tmp_path, rng, backend):
+    qp, sp, q, s = make_files(tmp_path, rng, Q=3, m=40, S=300, n=50)
+    res = str(tmp_path / "r.bin")
+    cfg = pl_mod.PipelineConfig(backend=backend, interpret=(backend == "pallas"))
+    stats = pl_mod.run_alignment(qp, sp, res, Scoring(0, -1, -1), Mode.GLOBAL, cfg)
+    assert stats.subject_count == 300
+    out = str(tmp_path / "conv.txt")
+    result_io.convert_result(res, out)
+    got = np.loadtxt(out, dtype=np.int64).reshape(3, 300)
+    want = np.stack([-edit_distances(qi, s) for qi in q])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_multi_bucket_multi_query_bucket(tmp_path, rng):
+    # Force several database buckets and 2 query buckets.
+    Q, m, S, n = 5, 30, 700, 40
+    qp, sp, q, s = make_files(tmp_path, rng, Q=Q, m=m, S=S, n=n)
+    res = str(tmp_path / "r.bin")
+    cfg = pl_mod.PipelineConfig(
+        backend="xla", bucket_size=256 * (n + 1), ref_bucket_count=3, v_num=128
+    )
+    pl_mod.run_alignment(qp, sp, res, config=cfg)
+    info = result_io.read_info(res + ".info")
+    assert info.block_num == 3
+    assert info.device_read_counts == [[256], [256], [256]]
+    assert info.extra_counts == [0, 0, 68]
+    out = str(tmp_path / "conv.txt")
+    result_io.convert_result(res, out, ref_bucket_count=3)
+    got = np.loadtxt(out, dtype=np.int64).reshape(Q, S)
+    want = np.stack([-edit_distances(qi, s) for qi in q])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_roundtrip(tmp_path, rng):
+    qp, sp, q, s = make_files(tmp_path, rng, Q=2, m=25, S=9, n=30)
+    res = str(tmp_path / "out" / "r.bin")
+    from bgsa_tpu import cli
+
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", res, "--backend", "xla", "--quiet"])
+    assert rc == 0
+    out = str(tmp_path / "c.txt")
+    rc = cli.main(["convert", "-r", res, "-o", out])
+    assert rc == 0
+    got = np.loadtxt(out, dtype=np.int64).reshape(2, 9)
+    want = np.stack([-edit_distances(qi, s) for qi in q])
+    np.testing.assert_array_equal(got, want)
