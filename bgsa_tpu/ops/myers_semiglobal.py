@@ -1,0 +1,150 @@
+"""Semi-global Myers: best match of each full subject anywhere in the query.
+
+Implements the reference generator's semi-global formulation
+(``generator/.../MyersGenerator.java:56-223``): Hyyrö's block algorithm with
+full 32-bit words and an explicit horizontal delta h in {-1, 0, +1} threaded
+between words (encoded so ``(h >> 1) & 1`` flags -1 and ``(h + 1) >> 1``
+flags +1). Column boundary h=0 leaves the query-side start free; the running
+last-row score is min-tracked for the free end. DP semantics: D[i][0] = i,
+D[0][j] = 0, result = min_j D[n][j].
+
+Both backends (XLA scan, Pallas TPU) share the column body.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WORD_BITS = 32  # full words (the reference's full_bits=1 path)
+
+
+def _column(eq_c, pv, mv, score, min_score, *, read_len, is_global=False):
+    """One query-character column over all words.
+
+    eq_c/pv/mv: (W, ...) uint32; score/min_score: (...) int32.
+    Returns updated (pv_list, mv_list, score, min_score).
+    """
+    W = eq_c.shape[0]
+    one = jnp.uint32(1)
+    last_shift = (read_len - 1) % WORD_BITS
+
+    h_out = jnp.full(eq_c.shape[1:], jnp.uint32(1 if is_global else 0))
+    new_pv, new_mv = [], []
+    for j in range(W):
+        h_in = h_out
+        h_in_neg = (h_in >> 1) & one  # 1 iff h_in == -1 (0xffffffff)
+        pvj, mvj = pv[j], mv[j]
+        eq = eq_c[j]
+        xv = eq | mvj
+        eq = eq | h_in_neg
+        xh = (((eq & pvj) + pvj) ^ pvj) | eq
+        ph = ~(xh | pvj) | mvj
+        mh = pvj & xh
+        shift = last_shift if j == W - 1 else WORD_BITS - 1
+        ph_bit = (ph >> shift) & one
+        mh_bit = (mh >> shift) & one
+        h_out = ph_bit - mh_bit  # 0, 1, or 0xffffffff (-1): modular uint32
+        ph = ph << 1
+        mh = (mh << 1) | h_in_neg
+        ph = ph | ((h_in + one) >> 1)  # 1 iff h_in == +1
+        new_pv.append(~(xv | ph) | mh)
+        new_mv.append(ph & xv)
+    score = score + ph_bit.astype(jnp.int32) - mh_bit.astype(jnp.int32)
+    min_score = jnp.minimum(min_score, score)
+    return new_pv, new_mv, score, min_score
+
+
+@functools.partial(jax.jit, static_argnames=("read_len", "factor", "is_global"))
+def myers_semiglobal_xla(eq, queries, *, read_len: int, factor: int = -1, is_global: bool = False):
+    """Portable backend. eq (5, W, S) uint32 (32-bit packing), queries (Q, m)."""
+    W, S = eq.shape[1], eq.shape[2]
+
+    def one_query(query):
+        def step(carry, c):
+            pv, mv, score, mins = carry
+            eq_c = lax.dynamic_index_in_dim(eq, c, axis=0, keepdims=False)
+            npv, nmv, score, mins = _column(
+                eq_c, pv, mv, score, mins, read_len=read_len, is_global=is_global
+            )
+            return (jnp.stack(npv), jnp.stack(nmv), score, mins), None
+
+        pv0 = jnp.full((W, S), jnp.uint32(0xFFFFFFFF))
+        mv0 = jnp.zeros((W, S), jnp.uint32)
+        score0 = jnp.full((S,), read_len, jnp.int32)
+        (pv, mv, score, mins), _ = lax.scan(step, (pv0, mv0, score0, score0), query)
+        result = score if is_global else mins
+        return result * jnp.int32(factor)
+
+    return jax.vmap(one_query)(queries)
+
+
+def _kernel(q_ref, eq_ref, out_ref, *, read_len, factor, q_len, is_global):
+    W, R, L = eq_ref.shape[1], eq_ref.shape[2], eq_ref.shape[3]
+    tile = (R, L)
+
+    def column(i, state):
+        pv, mv, score, mins = state
+        c = q_ref[0, 0, i]
+        eq_c = eq_ref[c]
+        npv, nmv, score, mins = _column(
+            eq_c, pv, mv, score, mins, read_len=read_len, is_global=is_global
+        )
+        return jnp.stack(npv), jnp.stack(nmv), score, mins
+
+    pv0 = jnp.full((W,) + tile, jnp.uint32(0xFFFFFFFF))
+    mv0 = jnp.zeros((W,) + tile, jnp.uint32)
+    score0 = jnp.full(tile, read_len, jnp.int32)
+    pv, mv, score, mins = lax.fori_loop(0, q_len, column, (pv0, mv0, score0, score0))
+    result = score if is_global else mins
+    out_ref[0] = result * jnp.int32(factor)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("read_len", "factor", "rows_per_block", "interpret", "is_global")
+)
+def myers_semiglobal(
+    eq,
+    queries,
+    *,
+    read_len: int,
+    factor: int = -1,
+    rows_per_block: int = 128,
+    interpret: bool = False,
+    is_global: bool = False,
+):
+    """Pallas TPU backend. eq (5, W, S) uint32 (32-bit packing), S % 128 == 0."""
+    C, W, S = eq.shape
+    Q, m = queries.shape
+    LANES = 128
+    if S % LANES:
+        raise ValueError(f"subject count {S} must be a multiple of {LANES}")
+    rows = S // LANES
+    r = min(rows_per_block, rows)
+    while rows % r:
+        r -= 1
+    nb = rows // r
+    eq4 = eq.reshape(C, W, rows, LANES)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, read_len=read_len, factor=factor, q_len=m, is_global=is_global
+        ),
+        grid=(nb, Q),
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda b, q: (q, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, W, r, LANES), lambda b, q: (0, 0, b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Q, rows, LANES), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * Q * m * W * S, bytes_accessed=eq.size * 4 + Q * S * 4, transcendentals=0
+        ),
+        interpret=interpret,
+    )(queries.astype(jnp.int32)[:, None, :], eq4)
+    return out.reshape(Q, S)

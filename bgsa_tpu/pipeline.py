@@ -87,24 +87,42 @@ class Engine:
 
     @property
     def word_bits(self) -> int:
-        return 31  # reserved-carry packing for the global Myers path
+        # Global Myers reserves the top bit for the in-word add carry; the
+        # semi-global block formulation threads deltas between words and uses
+        # full words (the reference's full_bits flag, GeneratorUtils.java:66-70).
+        if self.scheme.algorithm is Algorithm.MYERS and self.scheme.mode is Mode.SEMI_GLOBAL:
+            return 32
+        return 31
 
     def _build_step(self, q_len: int, s_len: int):
         jax, config, scheme = self._jax, self.config, self.scheme
         import jax.numpy as jnp
 
-        if scheme.algorithm is not Algorithm.MYERS or scheme.mode is not Mode.GLOBAL:
+        if scheme.algorithm is not Algorithm.MYERS:
             raise NotImplementedError(f"engine does not yet support {scheme}")
-
-        from .ops import myers_pallas, myers_xla
 
         word_bits = self.word_bits
 
-        @jax.jit
-        def step(qcodes, scodes):
-            eq = pack.pack_eq_jax(scodes, word_bits)
+        def kernel(eq, qcodes):
+            if scheme.mode is Mode.SEMI_GLOBAL:
+                from .ops import myers_semiglobal
+
+                if self.backend == "pallas":
+                    return myers_semiglobal.myers_semiglobal(
+                        eq,
+                        qcodes,
+                        read_len=s_len,
+                        factor=scheme.factor,
+                        rows_per_block=config.rows_per_block,
+                        interpret=config.interpret,
+                    )
+                return myers_semiglobal.myers_semiglobal_xla(
+                    eq, qcodes, read_len=s_len, factor=scheme.factor
+                )
+            from .ops import myers_pallas, myers_xla
+
             if self.backend == "pallas":
-                s = myers_pallas.myers_global(
+                return myers_pallas.myers_global(
                     eq,
                     qcodes,
                     read_len=s_len,
@@ -113,11 +131,14 @@ class Engine:
                     rows_per_block=config.rows_per_block,
                     interpret=config.interpret,
                 )
-            else:
-                s = myers_xla.myers_global(
-                    eq, qcodes, read_len=s_len, word_bits=word_bits, factor=scheme.factor
-                )
-            return s.astype(jnp.int16)
+            return myers_xla.myers_global(
+                eq, qcodes, read_len=s_len, word_bits=word_bits, factor=scheme.factor
+            )
+
+        @jax.jit
+        def step(qcodes, scodes):
+            eq = pack.pack_eq_jax(scodes, word_bits)
+            return kernel(eq, qcodes).astype(jnp.int16)
 
         return step
 
