@@ -1,0 +1,127 @@
+"""Banded-Myers pipeline: the read-verification filter workload.
+
+Same bucketed structure as pipeline.run_alignment but with the banded packing
+(initial 64-bit Peq window + injection stream) and int8 result records
+(MAX_ERROR=127 sentinel), matching the reference banded ports'
+``common_write_t int8_t`` (``banded/BGSA_CPU/config.h``).
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+import time
+
+import numpy as np
+
+from . import pack
+from .io import result as result_io
+from .io import seqfile
+from .pipeline import PipelineConfig, _enable_compilation_cache
+from .stats import RunStats
+
+
+class BandedEngine:
+    def __init__(self, threshold: int, config: PipelineConfig):
+        import jax
+
+        self._jax = jax
+        _enable_compilation_cache(jax)
+        self.k = threshold
+        self.config = config
+        backend = config.backend
+        if backend == "auto":
+            try:
+                on_tpu = jax.default_backend() == "tpu"
+            except RuntimeError:
+                on_tpu = False
+            backend = "pallas" if on_tpu or config.interpret else "xla"
+        self.backend = backend
+        self._step = functools.lru_cache(maxsize=None)(self._build_step)
+
+    def _build_step(self, q_len: int, s_len: int):
+        jax, config, k = self._jax, self.config, self.k
+        import jax.numpy as jnp
+
+        from .ops import banded as banded_ops
+
+        @jax.jit
+        def step(qcodes, init_lo, init_hi, inj):
+            if self.backend == "pallas":
+                s = banded_ops.banded(
+                    init_lo, init_hi, inj, qcodes, q_len=q_len, s_len=s_len, k=k,
+                    rows_per_block=config.rows_per_block, interpret=config.interpret,
+                )
+            else:
+                s = banded_ops.banded_xla(
+                    init_lo, init_hi, inj, qcodes, q_len=q_len, s_len=s_len, k=k
+                )
+            return s.astype(jnp.int8)
+
+        return step
+
+    def scores(self, query_codes: np.ndarray, packed):
+        init_lo, init_hi, inj = packed
+        step = self._step(query_codes.shape[1], self._s_len)
+        return step(query_codes.astype(np.int32), init_lo, init_hi, inj)
+
+    def pack(self, subject_codes: np.ndarray, q_len: int):
+        self._s_len = subject_codes.shape[1]
+        return pack.pack_banded(subject_codes, self.k, q_len)
+
+
+def run_banded(
+    query_path: str,
+    db_path: str,
+    result_path: str,
+    threshold: int,
+    config: PipelineConfig = PipelineConfig(),
+) -> RunStats:
+    engine = BandedEngine(threshold, config)
+    stats = RunStats()
+    t_start = time.perf_counter()
+
+    queries = seqfile.read_queries(query_path)
+    db = seqfile.DatabaseReader(db_path, config.bucket_size, config.v_num)
+    stats.query_count, stats.query_len = queries.shape
+    stats.subject_len = db.length
+
+    q_buckets = [
+        queries[s : s + config.ref_bucket_count]
+        for s in range(0, len(queries), config.ref_bucket_count)
+    ]
+    writer = result_io.ResultWriter(
+        result_path, ref_count=len(queries), block_num=db.bucket_count,
+        device_num=1, write_dtype=np.int8,
+    )
+
+    buckets: queue.Queue = queue.Queue(maxsize=config.prefetch)
+
+    def read_all():
+        for bucket in db:
+            buckets.put(bucket)
+        buckets.put(None)
+
+    threading.Thread(target=read_all, daemon=True).start()
+
+    while True:
+        bucket = buckets.get()
+        if bucket is None:
+            break
+        writer.start_bucket([bucket.count], bucket.extra_count)
+        stats.subject_count += bucket.count - bucket.extra_count
+        t0 = time.perf_counter()
+        packed = engine.pack(bucket.codes, stats.query_len)
+        stats.pack_time += time.perf_counter() - t0
+        for qb in q_buckets:
+            t0 = time.perf_counter()
+            host_scores = np.asarray(engine.scores(qb, packed))
+            stats.cal_time += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            writer.write_scores(host_scores)
+            stats.write_time += time.perf_counter() - t0
+
+    writer.close()
+    stats.total_time = time.perf_counter() - t_start
+    return stats

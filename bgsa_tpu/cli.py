@@ -50,12 +50,18 @@ def align_main(argv=None) -> int:
     mode = Mode.SEMI_GLOBAL if args.semi_global else Mode.GLOBAL
     scoring = Scoring(args.match, args.mismatch, args.gap)
 
-    if args.threshold is not None:
-        from .banded_pipeline import run_banded
+    try:
+        if args.threshold is not None:
+            from .banded_pipeline import run_banded
 
-        stats = run_banded(args.query, args.database, args.result, args.threshold, config)
-    else:
-        stats = pl_mod.run_alignment(args.query, args.database, args.result, scoring, mode, config)
+            stats = run_banded(args.query, args.database, args.result, args.threshold, config)
+        else:
+            stats = pl_mod.run_alignment(
+                args.query, args.database, args.result, scoring, mode, config
+            )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if not args.quiet:
         print(f"score is {scoring.match}, {scoring.mismatch}, {scoring.gap}")
         print(stats.report())

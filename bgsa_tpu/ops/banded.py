@@ -1,0 +1,225 @@
+"""Banded Myers verification kernel (error threshold k), XLA + Pallas TPU.
+
+TPU-native re-design of the reference's banded family
+(``banded/BGSA_CPU/align_core.c:19-253``; semantics documented in
+``bgsa_tpu.banded_ref``). Key mapping decisions:
+
+* The reference's 64-bit band register is emulated as (lo, hi) uint32 pairs —
+  the band's above-band carry dynamics are word-size-dependent, so matching
+  the reference bit-for-bit requires 64-bit arithmetic (measured: 16% of
+  scores diverge if the band is truncated to 32 bits). This also supports
+  bands up to 64 bits (k up to ~31 at equal lengths).
+* The reference's ``goto end`` early termination becomes a per-lane dead
+  mask latched at the precomputed checkpoint columns (the scalar reference's
+  schedule, ``banded_ref.checkpoint_columns``); dead lanes report
+  MAX_ERROR=127. Early exit as *control flow* would diverge across lanes; as
+  masking it is branch-free and still exact.
+* One subject character is injected into the sliding Peq window per column,
+  from a packed injection stream (pack.pack_banded) — a dynamic-sliced word
+  load every 32 columns instead of the reference's per-word pointer walk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..banded_ref import MAX_ERROR, checkpoint_columns
+
+LANES = 128
+
+
+def _add64(alo, ahi, blo, bhi):
+    lo = alo + blo
+    carry = (lo < alo).astype(jnp.uint32)
+    return lo, ahi + bhi + carry
+
+
+def _shr1(lo, hi):
+    return (lo >> 1) | (hi << 31), hi >> 1
+
+
+def _select_plane(planes, c):
+    """planes[c] for a traced scalar c, via a select chain (the Mosaic TPU
+    lowering does not support dynamic_slice on loop-carried values)."""
+    out = planes[0]
+    for i in range(1, planes.shape[0]):
+        out = jnp.where(c == i, planes[i], out)
+    return out
+
+
+def _banded_column(t, state, c, inj_bits, *, k, m, band_down, max_err, chk):
+    """One query column. state tuple of jnp arrays; c traced char; inj_bits
+    (5, ...) uint32 0/1 injection bits for this column; chk traced 0/1."""
+    plo, phi, vplo, vphi, vnlo, vnhi, err, dead = state
+    one = jnp.uint32(1)
+
+    eq_lo = _select_plane(plo, c)
+    eq_hi = _select_plane(phi, c)
+    xlo, xhi = eq_lo | vnlo, eq_hi | vnhi
+    tlo, thi = xlo & vplo, xhi & vphi
+    slo, shi = _add64(tlo, thi, vplo, vphi)
+    d0lo = (slo ^ vplo) | xlo
+    d0hi = (shi ^ vphi) | xhi
+    hnlo, hnhi = d0lo & vplo, d0hi & vphi
+    hplo, hphi = ~(d0lo | vplo) | vnlo, ~(d0hi | vphi) | vnhi
+    xslo, xshi = _shr1(d0lo, d0hi)
+    vnlo, vnhi = xslo & hplo, xshi & hphi
+    vplo, vphi = ~(hplo | xslo) | hnlo, ~(hphi | xshi) | hnhi
+
+    scored = (t >= k).astype(jnp.int32)
+    err = err + scored * (jnp.int32(1) - (d0lo & one).astype(jnp.int32))
+
+    plo, phi = _shr1(plo, phi)  # move_peq over all 5 planes at once
+    inject = jnp.where(t < m - k, jnp.uint32(1), jnp.uint32(0))
+    bits = inj_bits * inject
+    if band_down < 32:
+        plo = plo | (bits << band_down)
+    else:
+        phi = phi | (bits << (band_down - 32))
+
+    dead = dead | (chk & (err > jnp.int32(max_err)).astype(jnp.int32))
+    return plo, phi, vplo, vphi, vnlo, vnhi, err, dead
+
+
+def _epilogue(state, *, h, read_len_unused=None):
+    _, _, vplo, vphi, vnlo, vnhi, err, dead = state
+    one = jnp.uint32(1)
+    mn = err
+    cur = err
+    for i in range(h + 1):
+        vp_bit = (vplo >> i) & one if i < 32 else (vphi >> (i - 32)) & one
+        vn_bit = (vnlo >> i) & one if i < 32 else (vnhi >> (i - 32)) & one
+        cur = cur + vp_bit.astype(jnp.int32) - vn_bit.astype(jnp.int32)
+        mn = jnp.minimum(mn, cur)
+    return jnp.where(dead > 0, jnp.int32(MAX_ERROR), mn)
+
+
+def _geometry(q_len: int, s_len: int, k: int):
+    h = k + s_len - q_len
+    if h < 0:
+        raise ValueError("banded requires subject_len >= query_len - threshold")
+    band_length = k + h + 1
+    if band_length > 64:
+        raise ValueError(f"band of {band_length} bits exceeds the 64-bit register")
+    return h, band_length - 1, k + h + 1  # h, band_down, max_err
+
+
+def _chk_array(q_len: int, s_len: int, k: int) -> np.ndarray:
+    cols = checkpoint_columns(q_len, s_len, k)
+    chk = np.zeros(q_len, np.int32)
+    for c in cols:
+        if 1 <= c <= q_len:
+            chk[c - 1] = 1  # check happens after column c (0-based t = c-1)
+    return chk
+
+
+@functools.partial(jax.jit, static_argnames=("q_len", "s_len", "k"))
+def banded_xla(init_lo, init_hi, inj, queries, *, q_len: int, s_len: int, k: int):
+    """Portable backend. init_* (5, S) uint32, inj (5, W, S) uint32,
+    queries (Q, m) int32 -> (Q, S) int32 scores (127 = early exit)."""
+    h, band_down, max_err = _geometry(q_len, s_len, k)
+    S = init_lo.shape[1]
+    W = inj.shape[1]
+    chk = jnp.asarray(_chk_array(q_len, s_len, k))
+    inj_w_major = jnp.transpose(inj, (1, 0, 2))  # (W, 5, S)
+
+    def one_query(query):
+        def step(state, inputs):
+            t, c = inputs
+            w = jnp.minimum(t // 32, W - 1)
+            word = lax.dynamic_index_in_dim(inj_w_major, w, 0, keepdims=False)
+            bits = (word >> (t % 32).astype(jnp.uint32)) & jnp.uint32(1)
+            state = _banded_column(
+                t, state, c, bits, k=k, m=q_len, band_down=band_down,
+                max_err=max_err, chk=chk[t],
+            )
+            return state, None
+
+        zeros = jnp.zeros((S,), jnp.uint32)
+        state = (
+            init_lo, init_hi, zeros, zeros, zeros, zeros,
+            jnp.full((S,), k, jnp.int32), jnp.zeros((S,), jnp.int32),
+        )
+        ts = jnp.arange(q_len)
+        state, _ = lax.scan(step, state, (ts, query))
+        return _epilogue(state, h=h)
+
+    return jax.vmap(one_query)(queries)
+
+
+def _kernel(q_ref, chk_ref, init_lo_ref, init_hi_ref, inj_ref, out_ref, *,
+             q_len, s_len, k):
+    h, band_down, max_err = _geometry(q_len, s_len, k)
+    W = inj_ref.shape[0]
+    R, L = init_lo_ref.shape[1], init_lo_ref.shape[2]
+    tile = (R, L)
+
+    def column(t, state):
+        c = q_ref[0, 0, t]
+        w = jnp.minimum(t // 32, W - 1)
+        word = inj_ref[w]  # (5, R, L)
+        bits = (word >> (t % 32).astype(jnp.uint32)) & jnp.uint32(1)
+        return _banded_column(
+            t, state, c, bits, k=k, m=q_len, band_down=band_down,
+            max_err=max_err, chk=chk_ref[0, 0, t],
+        )
+
+    zeros = jnp.zeros(tile, jnp.uint32)
+    state = (
+        init_lo_ref[...], init_hi_ref[...], zeros, zeros, zeros, zeros,
+        jnp.full(tile, k, jnp.int32), jnp.zeros(tile, jnp.int32),
+    )
+    state = lax.fori_loop(0, q_len, column, state)
+    out_ref[0] = _epilogue(state, h=h)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_len", "s_len", "k", "rows_per_block", "interpret")
+)
+def banded(init_lo, init_hi, inj, queries, *, q_len: int, s_len: int, k: int,
+           rows_per_block: int = 128, interpret: bool = False):
+    """Pallas TPU backend; S % 128 == 0. Returns (Q, S) int32 scores."""
+    C, S = init_lo.shape
+    Q, m = queries.shape
+    W = inj.shape[1]
+    if S % LANES:
+        raise ValueError(f"subject count {S} must be a multiple of {LANES}")
+    rows = S // LANES
+    r = min(rows_per_block, rows)
+    while rows % r:
+        r -= 1
+    nb = rows // r
+
+    chk = np.zeros((1, 1, m), np.int32)
+    chk[0, 0] = _chk_array(q_len, s_len, k)
+    init_lo4 = init_lo.reshape(C, rows, LANES)
+    init_hi4 = init_hi.reshape(C, rows, LANES)
+    inj4 = jnp.transpose(inj, (1, 0, 2)).reshape(W, C, rows, LANES)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, q_len=q_len, s_len=s_len, k=k),
+        grid=(nb, Q),
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda b, q: (q, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m), lambda b, q: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, r, LANES), lambda b, q: (0, b, 0)),
+            pl.BlockSpec((C, r, LANES), lambda b, q: (0, b, 0)),
+            pl.BlockSpec((W, C, r, LANES), lambda b, q: (0, 0, b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Q, rows, LANES), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=50 * Q * m * S, bytes_accessed=inj.size * 4 + Q * S * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(queries, jnp.int32)[:, None, :], jnp.asarray(chk),
+      init_lo4, init_hi4, inj4)
+    return out.reshape(Q, S)

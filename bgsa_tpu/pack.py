@@ -109,3 +109,44 @@ def encode_ascii_jax(ascii_bytes):
 
     table = jnp.asarray(MAPPING)
     return jnp.take(table, jnp.asarray(ascii_bytes, jnp.int32), axis=0)
+
+
+def pack_banded(codes: np.ndarray, threshold: int, query_len: int):
+    """Banded packing: initial 64-bit Peq window + per-column injection bits.
+
+    Mirrors the reference's banded layout (``banded/BGSA_CPU/global.c:25-85``):
+    word 0 holds subject[0..k-1] pre-shifted to bits k+1..2k of a 64-bit band
+    register; the remaining subject characters are consumed one bit per query
+    column as the band slides. We store the initial window as (lo, hi) uint32
+    pairs and the injection stream packed 32 columns per uint32 word. Unlike
+    the reference we never read past the subject (its packer overruns into
+    adjacent memory when the subject tail exceeds the word capacity); beyond
+    the subject end we inject zero bits.
+
+    Args:
+      codes: (S, L) symbol codes.
+      threshold: error threshold k (band fits 64 bits:
+        2k + (L - query_len) + 1 <= 64 required).
+      query_len: query length m (injections run for columns t < m - k).
+
+    Returns:
+      init_lo, init_hi: (CHAR_NUM, S) uint32 — initial Peq window.
+      inj: (CHAR_NUM, W, S) uint32 — injection bit w*32+b = column t bit,
+        i.e. subject[k + t] == c; W = ceil(max(query_len - k, 1) / 32).
+    """
+    codes = np.atleast_2d(np.asarray(codes))
+    S, L = codes.shape
+    k = threshold
+    init = np.zeros((CHAR_NUM, S), dtype=np.uint64)
+    for i in range(min(k, L)):
+        for c in range(CHAR_NUM):
+            init[c] |= (codes[:, i] == c).astype(np.uint64) << np.uint64(k + 1 + i)
+    n_inj = max(query_len - k, 1)
+    W = -(-n_inj // 32)
+    inj = np.zeros((CHAR_NUM, W, S), dtype=np.uint32)
+    for t in range(min(n_inj, max(L - k, 0))):
+        idx = k + t
+        w, b = divmod(t, 32)
+        for c in range(CHAR_NUM):
+            inj[c, w] |= (codes[:, idx] == c).astype(np.uint32) << np.uint32(b)
+    return (init & np.uint64(0xFFFFFFFF)).astype(np.uint32), (init >> np.uint64(32)).astype(np.uint32), inj
