@@ -1,0 +1,343 @@
+"""BitPAl general integer scoring (match M, mismatch I, gap G), non-packed.
+
+Implements the BitPAl algorithm (Loving, Hernandez & Benson 2014) in its
+non-packed representation: one indicator bitvector per distinct vertical-delta
+value v in [G, M-G] over the subject rows. The reference emits this kernel
+from Java at codegen time (``generator/.../BitPAlGenerator.java:1392-1703``,
+``genUnpackedCommon``); here the same value-class network is built at trace
+time as a function of (M, I, G) — the loops that the reference's emitter
+unrolls into C source become Python loops emitting jnp ops.
+
+Conventions (mirroring the generated kernels' bit layout so scores agree
+exactly): uint32 words, 31 usable bits (top bit reserved for the in-word add
+carry), per-column cross-word carries for the run-propagation adds and the
+one-row shifts. Requires M > I > 2G (the value-class lattice the algorithm
+assumes; schemes.normalize enforces it).
+
+The final score is S[n][m] = G*m + sum_i DV[i][m]; instead of the reference's
+bit-serial walk we use a per-plane popcount (lax.population_count), masked to
+the valid subject rows. Semi-global (max over subject prefixes) uses a
+bit-serial prefix walk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WORD_BITS = 31
+LANES = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class BitpalParams:
+    match: int
+    mismatch: int
+    gap: int
+
+    def __post_init__(self):
+        if not (self.match > self.mismatch > 2 * self.gap):
+            raise ValueError(
+                f"BitPAl requires M > I > 2G, got ({self.match},{self.mismatch},{self.gap})"
+            )
+
+    @property
+    def minv(self) -> int:  # lowest delta value = G
+        return self.gap
+
+    @property
+    def maxv(self) -> int:  # highest delta value = M - G
+        return self.match - self.gap
+
+    @property
+    def midv(self) -> int:  # mismatch class = I - G
+        return self.mismatch - self.gap
+
+    @property
+    def max_sub_mid(self) -> int:
+        return self.maxv - self.midv
+
+    @property
+    def values(self):
+        return range(self.minv, self.maxv + 1)
+
+
+def _bitpal_column(planes, matches_w, p: BitpalParams):
+    """One query column over all words.
+
+    planes: dict value -> list of per-word arrays (vertical-delta indicators).
+    matches_w: list of per-word match bitvectors for this column's character.
+    Returns the new planes dict.
+    """
+    W = len(matches_w)
+    minv, midv, maxv = p.minv, p.midv, p.maxv
+    CM = jnp.uint32((1 << WORD_BITS) - 1)
+    zeros = jnp.zeros_like(matches_w[0])
+
+    overflow = {}
+    prevbit = {v: zeros for v in p.values}
+    out = {v: [] for v in p.values}
+
+    for w in range(W):
+        dh = {v: planes[v][w] for v in p.values}
+        matches = matches_w[w]
+        not_matches = ~matches
+
+        # ---- Phase A: horizontal-delta ("dv_shift") indicators ----
+        dv_shift = {}
+        dvsnm = {}  # dv_<v>_shift & not_matches
+        init_max = dh[minv] & matches
+        s = init_max + dh[minv] + overflow.get(0, zeros)
+        dv_shift[maxv] = (s ^ dh[minv] ^ init_max) & CM
+        overflow[0] = s >> WORD_BITS
+        remain = (init_max & CM) ^ dh[minv]
+        dv_max_or_match = dv_shift[maxv] | matches
+
+        oi = 1
+        for i in range(maxv - 1, midv, -1):
+            cnt = minv + (maxv - i)
+            init_i = dh[cnt] & dv_max_or_match
+            for x in range(1, maxv - i):
+                init_i = init_i | (dh[cnt - x] & dvsnm[maxv - x])
+            init_val = (init_i << 1) | prevbit[i]
+            prevbit[i] = init_val >> WORD_BITS
+            init_val = init_val & CM
+            s = init_val + remain + overflow.get(oi, zeros)
+            dv_shift[i] = s ^ remain
+            dvsnm[i] = dv_shift[i] & not_matches
+            overflow[oi] = s >> WORD_BITS
+            oi += 1
+
+        if maxv > midv + 1:
+            acc = dv_max_or_match
+            for i in range(maxv - 1, midv, -1):
+                acc = acc | dv_shift[i]
+            dv_not_hi = ~acc
+        else:
+            dv_not_hi = ~dv_max_or_match
+
+        index = minv + p.match - p.mismatch
+        for i in range(midv, minv, -1):
+            init_i = dh[index] & dv_max_or_match
+            dhi = index - 1
+            for j in range(maxv - 1, midv, -1):
+                init_i = init_i | (dh[dhi] & dvsnm[j])
+                dhi -= 1
+            init_i = init_i | (dh[dhi] & dv_not_hi)
+            dv_shift[i] = (init_i << 1) | prevbit[i]
+            prevbit[i] = (init_i & CM) >> (WORD_BITS - 1)
+            index += 1
+
+        acc = dv_shift[maxv]
+        for i in range(maxv - 1, minv, -1):
+            acc = acc | dv_shift[i]
+        dv_shift[minv] = ~acc
+
+        # ---- Phase B: new vertical-delta planes ----
+        for i in range(midv + 1, maxv):
+            dh[i] = dh[i] & not_matches
+        dh_max_or_match = dh[maxv] | matches
+        if maxv - 1 > midv:
+            acc = dh_max_or_match
+            for i in range(maxv - 1, midv, -1):
+                acc = acc | dh[i]
+            dh_lo_mask = ~acc
+        else:
+            dh_lo_mask = ~dh_max_or_match
+
+        new = {}
+        index = maxv - 1
+        for i in range(minv + 1, midv + 1):
+            t1 = dv_shift[index] & dh_max_or_match
+            dhi = maxv - 1
+            for j in range(1, p.max_sub_mid):
+                t1 = t1 | (dv_shift[index - j] & dh[dhi])
+                dhi -= 1
+            new[i] = t1 | (dv_shift[index - p.max_sub_mid] & dh_lo_mask)
+            index -= 1
+
+        value = p.max_sub_mid
+        for i in range(midv + 1, maxv + 1):
+            t1 = dv_shift[index] & dh_max_or_match
+            dhi = maxv - 1
+            for j in range(1, value):
+                t1 = t1 | (dv_shift[index - j] & dh[dhi])
+                dhi -= 1
+            new[i] = t1
+            value -= 1
+            index -= 1
+
+        acc = new[maxv]
+        for i in range(maxv - 1, minv, -1):
+            acc = acc | new[i]
+        new[minv] = (~acc) & CM
+
+        for v in p.values:
+            out[v].append(new[v])
+
+    return out
+
+
+def _valid_masks(read_len: int, W: int):
+    masks = []
+    for w in range(W):
+        bits = min(read_len - w * WORD_BITS, WORD_BITS)
+        masks.append(jnp.uint32((1 << max(bits, 0)) - 1))
+    return masks
+
+
+def _global_score(planes, p: BitpalParams, read_len: int, q_len: int, factor: int):
+    """S[n][m] = G*m + sum of final-column vertical deltas (weighted popcount)."""
+    W = len(planes[p.minv])
+    masks = _valid_masks(read_len, W)
+    score = jnp.full_like(planes[p.minv][0], p.gap * q_len, jnp.int32)
+    score = score.astype(jnp.int32)
+    for v in p.values:
+        if v == 0:
+            continue
+        cnt = None
+        for w in range(W):
+            c = lax.population_count(planes[v][w] & masks[w]).astype(jnp.int32)
+            cnt = c if cnt is None else cnt + c
+        score = score + jnp.int32(v) * cnt
+    return score * jnp.int32(factor)
+
+
+def _semiglobal_score(planes, p: BitpalParams, read_len: int, q_len: int, factor: int):
+    """max over subject prefixes: bit-serial walk down the final column."""
+    W = len(planes[p.minv])
+    one = jnp.uint32(1)
+    score = jnp.full_like(planes[p.minv][0], p.gap * q_len, jnp.int32)
+    score = score.astype(jnp.int32)
+    best = score
+    for w in range(W):
+        bits = min(read_len - w * WORD_BITS, WORD_BITS)
+        adds = {v: planes[v][w] for v in p.values}
+        for b in range(max(bits, 0)):
+            delta = jnp.zeros_like(score)
+            for v in p.values:
+                if v == 0:
+                    continue
+                delta = delta + jnp.int32(v) * ((adds[v] >> b) & one).astype(jnp.int32)
+            score = score + delta
+            best = jnp.maximum(best, score)
+    return best * jnp.int32(factor)
+
+
+def _init_planes(p: BitpalParams, shape, W, semi_global: bool):
+    CM = jnp.uint32((1 << WORD_BITS) - 1)
+    boundary = 0 if semi_global else p.minv
+    planes = {}
+    for v in p.values:
+        fill = CM if v == boundary else jnp.uint32(0)
+        planes[v] = [jnp.full(shape, fill) for _ in range(W)]
+    return planes
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "read_len", "factor", "semi_global"),
+)
+def bitpal_xla(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
+               factor: int = 1, semi_global: bool = False):
+    """Portable backend. eq (5, W, S) uint32 (31-bit packing), queries (Q, m)."""
+    p = BitpalParams(match, mismatch, gap)
+    C, W, S = eq.shape
+    Q, m = queries.shape
+    nvals = p.maxv - p.minv + 1
+
+    def one_query(query):
+        def step(carry, c):
+            eq_c = lax.dynamic_index_in_dim(eq, c, axis=0, keepdims=False)
+            planes = {v: [carry[v - p.minv, w] for w in range(W)] for v in p.values}
+            new = _bitpal_column(planes, [eq_c[w] for w in range(W)], p)
+            stacked = jnp.stack([jnp.stack(new[v]) for v in p.values])
+            return stacked, None
+
+        init = _init_planes(p, (S,), W, semi_global)
+        carry0 = jnp.stack([jnp.stack(init[v]) for v in p.values])
+        final, _ = lax.scan(step, carry0, query)
+        planes = {v: [final[v - p.minv, w] for w in range(W)] for v in p.values}
+        if semi_global:
+            return _semiglobal_score(planes, p, read_len, m, factor)
+        return _global_score(planes, p, read_len, m, factor)
+
+    return jax.vmap(one_query)(queries)
+
+
+def _kernel(q_ref, eq_ref, out_ref, *, p, read_len, q_len, factor, semi_global):
+    W = eq_ref.shape[1]
+
+    def column(i, carry):
+        c = q_ref[0, 0, i]
+        eq_c = eq_ref[c]
+        planes = {v: [carry[v - p.minv, w] for w in range(W)] for v in p.values}
+        new = _bitpal_column(planes, [eq_c[w] for w in range(W)], p)
+        return jnp.stack([jnp.stack(new[v]) for v in p.values])
+
+    tile = (eq_ref.shape[2], eq_ref.shape[3])
+    init = _init_planes(p, tile, W, semi_global)
+    carry0 = jnp.stack([jnp.stack(init[v]) for v in p.values])
+    final = lax.fori_loop(0, q_len, column, carry0)
+    planes = {v: [final[v - p.minv, w] for w in range(W)] for v in p.values}
+    if semi_global:
+        out_ref[0] = _semiglobal_score(planes, p, read_len, q_len, factor)
+    else:
+        out_ref[0] = _global_score(planes, p, read_len, q_len, factor)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_len", "factor", "semi_global",
+        "rows_per_block", "interpret",
+    ),
+)
+def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
+           factor: int = 1, semi_global: bool = False, rows_per_block: int = 32,
+           interpret: bool = False):
+    """Pallas TPU backend. S % 128 == 0; returns (Q, S) int32 scores.
+
+    Default rows_per_block is smaller than the Myers kernels': the non-packed
+    state is (M-2G+1) planes x W words, and must fit VMEM alongside Eq.
+    """
+    p = BitpalParams(match, mismatch, gap)
+    C, W, S = eq.shape
+    Q, m = queries.shape
+    if S % LANES:
+        raise ValueError(f"subject count {S} must be a multiple of {LANES}")
+    rows = S // LANES
+    nvals = p.maxv - p.minv + 1
+    # Keep state + eq under ~10 MB of VMEM.
+    budget_rows = max((10 << 20) // ((nvals + C) * W * LANES * 4), 1)
+    r = min(rows_per_block, rows, budget_rows)
+    while rows % r:
+        r -= 1
+    nb = rows // r
+    eq4 = eq.reshape(C, W, rows, LANES)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, p=p, read_len=read_len, q_len=m, factor=factor,
+            semi_global=semi_global,
+        ),
+        grid=(nb, Q),
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda b, q: (q, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, W, r, LANES), lambda b, q: (0, 0, b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Q, rows, LANES), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * nvals * Q * m * W * S, bytes_accessed=eq.size * 4 + Q * S * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(queries, jnp.int32)[:, None, :], eq4)
+    return out.reshape(Q, S)

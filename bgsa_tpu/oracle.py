@@ -72,3 +72,36 @@ def align_scores(
 def edit_distances(query: np.ndarray, subjects: np.ndarray, mode: Mode = Mode.GLOBAL) -> np.ndarray:
     """Unit-cost Levenshtein distances (the quantity Myers kernels compute)."""
     return -align_scores(query, subjects, Scoring(0, -1, -1), mode)
+
+
+def align_scores_query_in_subject(
+    query: np.ndarray, subjects: np.ndarray, scoring: Scoring = Scoring()
+) -> np.ndarray:
+    """BitPAl's semi-global semantics: full query, subject ends free.
+
+    The reference's two families disagree on what "semi-global" frees: Myers
+    semi-global leaves the *query* ends free (subject-in-query,
+    MyersGenerator.java:56-223), BitPAl semi-global initializes the first
+    column to zero and maxes down the final column (query-in-subject,
+    BitPAlGenerator genUnpackedScore). DP: S[i][0] = 0, S[0][j] = j*G,
+    result = max_i S[i][m].
+    """
+    query = np.asarray(query)
+    subjects = np.atleast_2d(np.asarray(subjects))
+    m = query.shape[0]
+    bsz, n = subjects.shape
+    M, I, G = scoring.match, scoring.mismatch, scoring.gap
+    gaps = np.arange(n + 1, dtype=np.int64) * G
+    col = np.zeros((bsz, n + 1), dtype=np.int64)
+    for j in range(1, m + 1):
+        qc = query[j - 1]
+        sub_score = np.where(subjects == qc, M, I).astype(np.int64)
+        diag = col[:, :-1] + sub_score
+        up = col[:, 1:] + G
+        cand = np.maximum(diag, up)
+        full = np.concatenate(
+            [np.full((bsz, 1), np.int64(j) * G, dtype=np.int64), cand], axis=1
+        )
+        t = full - gaps
+        col = np.maximum.accumulate(t, axis=1) + gaps
+    return col.max(axis=1)

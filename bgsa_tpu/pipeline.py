@@ -98,12 +98,20 @@ class Engine:
         jax, config, scheme = self._jax, self.config, self.scheme
         import jax.numpy as jnp
 
-        if scheme.algorithm is not Algorithm.MYERS:
-            raise NotImplementedError(f"engine does not yet support {scheme}")
-
         word_bits = self.word_bits
 
         def kernel(eq, qcodes):
+            if scheme.algorithm is Algorithm.BITPAL:
+                from .ops import bitpal
+
+                kw = dict(
+                    match=scheme.match, mismatch=scheme.mismatch, gap=scheme.gap,
+                    read_len=s_len, factor=scheme.factor,
+                    semi_global=scheme.mode is Mode.SEMI_GLOBAL,
+                )
+                if self.backend == "pallas":
+                    return bitpal.bitpal(eq, qcodes, interpret=config.interpret, **kw)
+                return bitpal.bitpal_xla(eq, qcodes, **kw)
             if scheme.mode is Mode.SEMI_GLOBAL:
                 from .ops import myers_semiglobal
 

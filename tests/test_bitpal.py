@@ -1,0 +1,78 @@
+import numpy as np
+import pytest
+
+from bgsa_tpu import pack
+from bgsa_tpu.oracle import align_scores
+from bgsa_tpu.ops import bitpal
+from bgsa_tpu.schemes import Mode, Scoring
+
+SCHEMES = [(2, -3, -5), (1, -1, -1), (3, -1, -2), (0, -2, -3), (5, -4, -11)]
+
+
+def oracle(queries, subjects, M, I, G, mode=Mode.GLOBAL):
+    return np.stack([align_scores(q, subjects, Scoring(M, I, G), mode) for q in queries])
+
+
+@pytest.mark.parametrize("M,I,G", SCHEMES)
+def test_xla_global_single_word(rng, M, I, G):
+    q = rng.integers(0, 4, size=(2, 25)).astype(np.int32)
+    s = rng.integers(0, 4, size=(8, 20))
+    eq = pack.pack_eq(s, 31)
+    got = np.asarray(
+        bitpal.bitpal_xla(eq, q, match=M, mismatch=I, gap=G, read_len=20)
+    )
+    np.testing.assert_array_equal(got, oracle(q, s, M, I, G))
+
+
+@pytest.mark.parametrize("n", [31, 32, 62, 70])
+def test_xla_multi_word(rng, n):
+    M, I, G = 2, -3, -5
+    q = rng.integers(0, 4, size=(2, 40)).astype(np.int32)
+    s = rng.integers(0, 4, size=(6, n))
+    eq = pack.pack_eq(s, 31)
+    got = np.asarray(bitpal.bitpal_xla(eq, q, match=M, mismatch=I, gap=G, read_len=n))
+    np.testing.assert_array_equal(got, oracle(q, s, M, I, G), err_msg=f"n={n}")
+
+
+def test_factor_scaling(rng):
+    # (4,-6,-10) = 2 * (2,-3,-5): run reduced scheme with factor 2
+    q = rng.integers(0, 4, size=(1, 30)).astype(np.int32)
+    s = rng.integers(0, 4, size=(4, 35))
+    eq = pack.pack_eq(s, 31)
+    got = np.asarray(
+        bitpal.bitpal_xla(eq, q, match=2, mismatch=-3, gap=-5, read_len=35, factor=2)
+    )
+    np.testing.assert_array_equal(got, oracle(q, s, 4, -6, -10))
+
+
+def test_xla_semiglobal(rng):
+    from bgsa_tpu.oracle import align_scores_query_in_subject
+
+    M, I, G = 2, -3, -5
+    q = rng.integers(0, 4, size=(2, 20)).astype(np.int32)
+    s = rng.integers(0, 4, size=(6, 45))
+    # plant exact query inside one subject: semi-global score = m*M
+    s[0, 10:30] = q[0]
+    eq = pack.pack_eq(s, 31)
+    got = np.asarray(
+        bitpal.bitpal_xla(eq, q, match=M, mismatch=I, gap=G, read_len=45, semi_global=True)
+    )
+    want = np.stack([align_scores_query_in_subject(qi, s, Scoring(M, I, G)) for qi in q])
+    np.testing.assert_array_equal(got, want)
+    assert got[0, 0] == 20 * M
+
+
+def test_pallas_matches_xla(rng):
+    M, I, G = 2, -3, -5
+    q = rng.integers(0, 4, size=(2, 30)).astype(np.int32)
+    s = rng.integers(0, 4, size=(256, 40))
+    eq = pack.pack_eq(s, 31)
+    got = np.asarray(
+        bitpal.bitpal(eq, q, match=M, mismatch=I, gap=G, read_len=40, interpret=True)
+    )
+    np.testing.assert_array_equal(got, oracle(q, s, M, I, G))
+
+
+def test_invalid_scheme():
+    with pytest.raises(ValueError, match="M > I > 2G"):
+        bitpal.BitpalParams(1, -4, -2)

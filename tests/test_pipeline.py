@@ -83,3 +83,17 @@ def test_semiglobal_pipeline(tmp_path, rng):
     got = np.loadtxt(out, dtype=np.int64).reshape(3, 200)
     want = np.stack([align_scores(qi, s, Scoring(0, -1, -1), Mode.SEMI_GLOBAL) for qi in q])
     np.testing.assert_array_equal(got, want)
+
+
+def test_bitpal_pipeline(tmp_path, rng):
+    from bgsa_tpu.oracle import align_scores
+
+    qp, sp, q, s = make_files(tmp_path, rng, Q=2, m=30, S=150, n=40)
+    res = str(tmp_path / "r.bin")
+    cfg = pl_mod.PipelineConfig(backend="xla")
+    pl_mod.run_alignment(qp, sp, res, Scoring(2, -3, -5), Mode.GLOBAL, cfg)
+    out = str(tmp_path / "c.txt")
+    result_io.convert_result(res, out)
+    got = np.loadtxt(out, dtype=np.int64).reshape(2, 150)
+    want = np.stack([align_scores(qi, s, Scoring(2, -3, -5)) for qi in q])
+    np.testing.assert_array_equal(got, want)
