@@ -1,0 +1,110 @@
+"""Multi-host orchestration: subject sharding and device-block result merge.
+
+The reference's heterogeneous mode splits each subject bucket across CPU + N
+Xeon Phis, writes per-device sub-blocks into one result file, and records the
+per-device counts in the ``.info`` manifest (``original/BGSA_KNC/cal_all.c``,
+``global.c:373-431 dispatch_task``). Our distributed analogue: hosts of a JAX
+multi-host runtime play the "devices" role — each host scores a contiguous,
+lane-aligned slice of every bucket and writes its own shard file; the merge
+step interleaves the shards into the reference's exact blocked layout with
+``total_device_number = n_hosts``. On homogeneous TPU hosts the even split
+replaces the reference's measured-ratio balancer (R11) — a ratios argument
+is still accepted for heterogeneous slices.
+
+Runs without real multi-host hardware too: each "host" role can be executed
+sequentially in one process (used by the tests), since the roles only share
+files, never device state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..io import result as result_io
+
+
+def split_counts(total: int, n_hosts: int, v_num: int = 128, ratios=None) -> list[int]:
+    """Per-host subject counts for one bucket: v_num-aligned, ratio-weighted.
+
+    Mirrors dispatch_task (reference global.c:373-431): round each share down
+    to a lane multiple, give the remainder to the last host.
+    """
+    if ratios is None:
+        ratios = [1.0] * n_hosts
+    weights = np.asarray(ratios, dtype=float)
+    weights = weights / weights.sum()
+    counts = []
+    for h in range(n_hosts - 1):
+        c = int(total * weights[h])
+        c -= c % v_num
+        counts.append(max(c, 0))
+    counts.append(total - sum(counts))
+    return counts
+
+
+def host_slice(total: int, n_hosts: int, host_id: int, v_num: int = 128, ratios=None):
+    """(start, count) of this host's slice of a bucket."""
+    counts = split_counts(total, n_hosts, v_num, ratios)
+    start = sum(counts[:host_id])
+    return start, counts[host_id]
+
+
+@dataclasses.dataclass
+class ShardMeta:
+    """What one host contributes per bucket (host-local manifest)."""
+
+    host_id: int
+    n_hosts: int
+    ref_count: int
+    block_counts: list[int]  # this host's subject count per bucket
+    extra_counts: list[int]  # pads (only the last host carries pads)
+
+
+def merge_shards(result_path: str, shard_paths: list[str], metas: list[ShardMeta],
+                 write_dtype=np.int16, ref_bucket_count: int = result_io.REF_BUCKET_COUNT):
+    """Interleave per-host shard files into the reference's blocked layout.
+
+    Each shard file holds, for every (bucket, query-bucket), a query-major
+    score matrix over that host's slice — the merged file holds the same
+    matrices interleaved host-by-host, which is exactly the reference's
+    multi-device layout (convert.c:228-268).
+    """
+    metas = sorted(metas, key=lambda m: m.host_id)
+    n_hosts = metas[0].n_hosts
+    ref_count = metas[0].ref_count
+    block_num = len(metas[0].block_counts)
+    itemsize = np.dtype(write_dtype).itemsize
+
+    import os
+
+    shards = [
+        np.memmap(p, dtype=write_dtype, mode="r")
+        if os.path.getsize(p)
+        else np.zeros(0, dtype=write_dtype)  # host contributed no lanes
+        for p in shard_paths
+    ]
+    offsets = [0] * n_hosts
+
+    ref_buckets = []
+    start = 0
+    while start < ref_count:
+        end = min(start + ref_bucket_count, ref_count)
+        ref_buckets.append(end - start)
+        start = end
+
+    with open(result_path, "wb") as out, open(result_path + ".info", "wb") as info:
+        import struct
+
+        info.write(struct.pack("<iiq", block_num, n_hosts, ref_count))
+        for j in range(block_num):
+            counts = [m.block_counts[j] for m in metas]
+            extra = metas[-1].extra_counts[j]
+            info.write(struct.pack(f"<{n_hosts}qi", *counts, extra))
+        for j in range(block_num):
+            for nq in ref_buckets:
+                for h in range(n_hosts):
+                    cnt = metas[h].block_counts[j] * nq
+                    out.write(shards[h][offsets[h] : offsets[h] + cnt].tobytes())
+                    offsets[h] += cnt

@@ -63,6 +63,7 @@ class PipelineConfig:
     backend: str = "auto"  # "pallas" | "xla" | "auto"
     interpret: bool = False  # Pallas interpreter mode (tests)
     prefetch: int = 2
+    local_shards: int = 1  # 1 = single device; 0 = all local devices; n = first n
 
 
 class Engine:
@@ -83,6 +84,21 @@ class Engine:
                 on_tpu = False
             backend = "pallas" if on_tpu or config.interpret else "xla"
         self.backend = backend
+        n = config.local_shards
+        if n == 0:
+            try:
+                n = len(jax.local_devices())
+            except RuntimeError:
+                n = 1
+        self.n_shards = max(n, 1)
+        if self.n_shards > 1:
+            from jax.sharding import Mesh
+
+            self.mesh = Mesh(
+                np.asarray(jax.local_devices()[: self.n_shards]), ("subjects",)
+            )
+        else:
+            self.mesh = None
         self._step = functools.lru_cache(maxsize=None)(self._build_step)
 
     @property
@@ -143,12 +159,26 @@ class Engine:
                 eq, qcodes, read_len=s_len, word_bits=word_bits, factor=scheme.factor
             )
 
-        @jax.jit
-        def step(qcodes, scodes):
+        def step_local(qcodes, scodes):
             eq = pack.pack_eq_jax(scodes, word_bits)
             return kernel(eq, qcodes).astype(jnp.int16)
 
-        return step
+        if self.mesh is not None:
+            # Local multi-chip: subjects sharded over the device mesh, queries
+            # replicated — the reference's per-device bucket split (R10), with
+            # pack + kernel running shard-local (no collectives on the hot path).
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            step_local = shard_map(
+                step_local,
+                mesh=self.mesh,
+                in_specs=(P(None, None), P("subjects", None)),
+                out_specs=P(None, "subjects"),
+                check_vma=False,
+            )
+
+        return jax.jit(step_local)
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int16 scores."""
@@ -163,16 +193,25 @@ def run_alignment(
     scoring: Scoring = Scoring(0, -1, -1),
     mode: Mode = Mode.GLOBAL,
     config: PipelineConfig = PipelineConfig(),
-) -> RunStats:
-    """Full aligner run, reference CLI semantics; returns run statistics."""
+    shard: tuple[int, int] | None = None,
+    shard_ratios=None,
+):
+    """Full aligner run, reference CLI semantics; returns run statistics.
+
+    With ``shard=(host_id, n_hosts)`` this process plays one host role of a
+    multi-host run: it scores its lane-aligned slice of every bucket and
+    writes a raw shard file plus a ShardMeta (merge with
+    parallel.multihost.merge_shards). Returns (stats, meta) in that case.
+    """
     scheme = normalize(scoring, mode)
     engine = Engine(scheme, config)
     stats = RunStats()
     t_start = time.perf_counter()
 
+    v_num = config.v_num * engine.n_shards
     t0 = time.perf_counter()
     queries = seqfile.read_queries(query_path)
-    db = seqfile.DatabaseReader(db_path, config.bucket_size, config.v_num)
+    db = seqfile.DatabaseReader(db_path, config.bucket_size, v_num)
     stats.read_time += time.perf_counter() - t0
 
     stats.query_count, stats.query_len = queries.shape
@@ -183,42 +222,62 @@ def run_alignment(
         for s in range(0, len(queries), config.ref_bucket_count)
     ]
 
-    writer = result_io.ResultWriter(
-        result_path, ref_count=len(queries), block_num=db.bucket_count, device_num=1
-    )
+    meta = None
+    if shard is not None:
+        from .parallel.multihost import ShardMeta, host_slice
+
+        host_id, n_hosts = shard
+        writer_fp = open(result_path, "wb")
+        meta = ShardMeta(host_id, n_hosts, len(queries), [], [])
+    else:
+        writer = result_io.ResultWriter(
+            result_path, ref_count=len(queries), block_num=db.bucket_count, device_num=1
+        )
 
     # Reader thread keeps the device fed (the reference's input_task thread).
     buckets: queue.Queue = queue.Queue(maxsize=config.prefetch)
 
     def read_all():
-        t_read = 0.0
         for bucket in db:
-            t0 = time.perf_counter()
             buckets.put(bucket)
-            t_read += time.perf_counter() - t0
         buckets.put(None)
 
     reader = threading.Thread(target=read_all, daemon=True)
-    t0 = time.perf_counter()
     reader.start()
 
     while True:
         bucket = buckets.get()
         if bucket is None:
             break
-        stats.read_time += 0.0  # reading overlaps compute; counted in total
-        writer.start_bucket([bucket.count], bucket.extra_count)
-        stats.subject_count += bucket.count - bucket.extra_count
+        codes = bucket.codes
+        if shard is not None:
+            start, count = host_slice(bucket.count, n_hosts, host_id, v_num, shard_ratios)
+            codes = codes[start : start + count]
+            meta.block_counts.append(count)
+            meta.extra_counts.append(bucket.extra_count if host_id == n_hosts - 1 else 0)
+            stats.subject_count += count - meta.extra_counts[-1]
+        else:
+            writer.start_bucket([bucket.count], bucket.extra_count)
+            stats.subject_count += bucket.count - bucket.extra_count
+        if codes.shape[0] == 0:
+            continue
         for qb in q_buckets:
             t_cal = time.perf_counter()
-            dev_scores = engine.scores(qb, bucket.codes)
+            dev_scores = engine.scores(qb, codes)
             host_scores = np.asarray(dev_scores)
             stats.cal_time += time.perf_counter() - t_cal
             t_w = time.perf_counter()
-            writer.write_scores(host_scores)
+            if shard is not None:
+                writer_fp.write(host_scores.tobytes())
+            else:
+                writer.write_scores(host_scores)
             stats.write_time += time.perf_counter() - t_w
 
     reader.join()
+    if shard is not None:
+        writer_fp.close()
+        stats.total_time = time.perf_counter() - t_start
+        return stats, meta
     writer.close()
     stats.total_time = time.perf_counter() - t_start
     return stats

@@ -1,0 +1,73 @@
+import subprocess
+
+import jax
+import numpy as np
+import pytest
+
+from bgsa_tpu import pipeline as pl_mod
+from bgsa_tpu.io import result as result_io
+from bgsa_tpu.io import seqfile
+from bgsa_tpu.parallel import multihost
+from bgsa_tpu.schemes import Mode, Scoring
+
+
+def test_split_counts():
+    assert multihost.split_counts(1024, 2, 128) == [512, 512]
+    assert multihost.split_counts(1280, 3, 128) == [384, 384, 512]
+    assert sum(multihost.split_counts(640, 4, 128)) == 640
+    # ratio-weighted (heterogeneous hosts)
+    got = multihost.split_counts(1280, 2, 128, ratios=[1, 3])
+    assert got == [256, 1024]
+
+
+def test_multihost_roles_merge_equals_single(tmp_path, rng):
+    Q, m, S, n = 5, 30, 700, 40
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+
+    cfg = pl_mod.PipelineConfig(
+        backend="xla", bucket_size=256 * (n + 1), ref_bucket_count=3, local_shards=1
+    )
+    # single-host reference run
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(qp, sp, single, config=cfg)
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single, ref_bucket_count=3)
+
+    # two host roles, sequential, then merge
+    shard_paths, metas = [], []
+    for h in range(2):
+        p = str(tmp_path / f"shard{h}.bin")
+        stats, meta = pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(h, 2))
+        shard_paths.append(p)
+        metas.append(meta)
+    merged = str(tmp_path / "merged.bin")
+    multihost.merge_shards(merged, shard_paths, metas, ref_bucket_count=3)
+
+    info = result_io.read_info(merged + ".info")
+    assert info.device_num == 2
+    conv_merged = str(tmp_path / "merged.txt")
+    result_io.convert_result(merged, conv_merged, ref_bucket_count=3)
+    assert open(conv_merged).read() == open(conv_single).read()
+
+
+def test_local_shards_engine(tmp_path, rng):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    Q, m, S, n = 3, 25, 1024, 30
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+
+    res1 = str(tmp_path / "r1.bin")
+    res4 = str(tmp_path / "r4.bin")
+    pl_mod.run_alignment(qp, sp, res1, config=pl_mod.PipelineConfig(backend="xla", local_shards=1))
+    pl_mod.run_alignment(qp, sp, res4, config=pl_mod.PipelineConfig(backend="xla", local_shards=4))
+    a = open(res1, "rb").read()
+    b = open(res4, "rb").read()
+    assert a == b
