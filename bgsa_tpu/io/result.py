@@ -84,7 +84,16 @@ def read_info(info_path: str) -> InfoData:
 
 def convert_result(result_path: str, out_path: str, write_dtype=np.int16,
                    ref_bucket_count: int = REF_BUCKET_COUNT) -> None:
-    """Reference-identical ``convert -r``: blocked binary -> text scores."""
+    """Reference-identical ``convert -r``: blocked binary -> text scores.
+
+    Uses the native C++ walker (native/bgsa_native.cpp) when available — the
+    per-line Python loop is the bottleneck at tens of millions of scores.
+    """
+    from .. import native
+
+    if native.convert_result(result_path, out_path, np.dtype(write_dtype).itemsize,
+                             ref_bucket_count):
+        return
     info = read_info(result_path + ".info")
     data = np.memmap(result_path, dtype=write_dtype, mode="r")
 

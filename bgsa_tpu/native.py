@@ -1,0 +1,116 @@
+"""ctypes loader for the native host-runtime library (native/bgsa_native.cpp).
+
+Builds libbgsa_native.so on first use (g++ -O3 -shared) into a cache dir and
+exposes the fast paths; every caller has a pure-Python fallback, so a missing
+toolchain only costs speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native",
+                    "bgsa_native.cpp")
+
+
+def _build(so_path: str) -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so_path, _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("BGSA_NO_NATIVE"):
+            return None
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "bgsa_tpu", "native"
+        )
+        so_path = os.path.join(cache, "libbgsa_native.so")
+        try:
+            os.makedirs(cache, exist_ok=True)
+            src_mtime = os.path.getmtime(_SRC)
+            if not os.path.exists(so_path) or os.path.getmtime(so_path) < src_mtime:
+                if not _build(so_path):
+                    return None
+            lib = ctypes.CDLL(so_path)
+        except Exception:
+            return None
+        lib.bgsa_convert_result.restype = ctypes.c_int
+        lib.bgsa_convert_result.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.bgsa_pack_banded.restype = None
+        lib.bgsa_pack_eq.restype = None
+        _lib = lib
+        return _lib
+
+
+def convert_result(result_path: str, out_path: str, itemsize: int,
+                   ref_bucket_count: int) -> bool:
+    """Native blocked-result conversion; returns False if unavailable/failed."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    rc = lib.bgsa_convert_result(
+        result_path.encode(), (result_path + ".info").encode(), out_path.encode(),
+        itemsize, ref_bucket_count,
+    )
+    return rc == 0
+
+
+def pack_banded(codes: np.ndarray, k: int, query_len: int):
+    """Native banded packing; returns None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    S, L = codes.shape
+    n_inj = max(query_len - k, 1)
+    W = -(-n_inj // 32)
+    init_lo = np.empty((5, S), np.uint32)
+    init_hi = np.empty((5, S), np.uint32)
+    inj = np.empty((5, W, S), np.uint32)
+    lib.bgsa_pack_banded(
+        codes.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(S), ctypes.c_int64(L),
+        ctypes.c_int32(k), ctypes.c_int32(query_len),
+        init_lo.ctypes.data_as(ctypes.c_void_p), init_hi.ctypes.data_as(ctypes.c_void_p),
+        inj.ctypes.data_as(ctypes.c_void_p), ctypes.c_int32(W),
+    )
+    return init_lo, init_hi, inj
+
+
+def pack_eq(codes: np.ndarray, word_bits: int):
+    """Native Eq packing; returns None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    S, L = codes.shape
+    W = -(-L // word_bits)
+    eq = np.empty((5, W, S), np.uint32)
+    lib.bgsa_pack_eq(
+        codes.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(S), ctypes.c_int64(L),
+        ctypes.c_int32(word_bits), eq.ctypes.data_as(ctypes.c_void_p), ctypes.c_int32(W),
+    )
+    return eq

@@ -135,6 +135,11 @@ def pack_banded(codes: np.ndarray, threshold: int, query_len: int):
         i.e. subject[k + t] == c; W = ceil(max(query_len - k, 1) / 32).
     """
     codes = np.atleast_2d(np.asarray(codes))
+    from . import native
+
+    fast = native.pack_banded(codes, threshold, query_len)
+    if fast is not None:
+        return fast
     S, L = codes.shape
     k = threshold
     init = np.zeros((CHAR_NUM, S), dtype=np.uint64)

@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+from bgsa_tpu import native, pack
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable (no g++?)")
+    return lib
+
+
+def python_pack_banded(codes, k, qlen):
+    """Force the pure-Python path for comparison."""
+    import importlib
+    import os
+
+    os.environ["BGSA_NO_NATIVE"] = "1"
+    try:
+        native._tried, native._lib = True, None
+        return pack.pack_banded(codes, k, qlen)
+    finally:
+        del os.environ["BGSA_NO_NATIVE"]
+        native._tried = False
+
+
+def test_pack_banded_matches_python(lib, rng):
+    codes = rng.integers(0, 5, size=(37, 150)).astype(np.uint8)
+    got = native.pack_banded(codes, 8, 150)
+    want = python_pack_banded(codes, 8, 150)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_pack_eq_matches_python(lib, rng):
+    codes = rng.integers(0, 5, size=(13, 70)).astype(np.uint8)
+    for wb in (31, 32):
+        got = native.pack_eq(codes, wb)
+        np.testing.assert_array_equal(got, pack.pack_eq(codes, wb))
+
+
+def test_native_convert_matches_python(lib, tmp_path, rng):
+    from bgsa_tpu.io import result as result_io
+
+    res = str(tmp_path / "r.bin")
+    w = result_io.ResultWriter(res, ref_count=3, block_num=2, device_num=2)
+    blocks = [
+        (rng.integers(-300, 300, size=(3, 6)), rng.integers(-300, 300, size=(3, 4)), 1),
+        (rng.integers(-300, 300, size=(3, 2)), rng.integers(-300, 300, size=(3, 8)), 0),
+    ]
+    for a, b, extra in blocks:
+        w.start_bucket([a.shape[1], b.shape[1]], extra)
+        for qs in range(0, 3, 2):
+            w.write_scores(a[qs : qs + 2])
+            w.write_scores(b[qs : qs + 2])
+    w.close()
+
+    out_native = str(tmp_path / "n.txt")
+    out_python = str(tmp_path / "p.txt")
+    assert native.convert_result(res, out_native, 2, 2)
+    import os
+
+    os.environ["BGSA_NO_NATIVE"] = "1"
+    try:
+        native._tried, native._lib = True, None
+        result_io.convert_result(res, out_python, ref_bucket_count=2)
+    finally:
+        del os.environ["BGSA_NO_NATIVE"]
+        native._tried = False
+    assert open(out_native).read() == open(out_python).read()
