@@ -1,0 +1,33 @@
+"""End-to-end parity against committed golden outputs from the reference.
+
+The golden file was produced by compiling and running the reference
+implementation (original/BGSA_CPU aligner + convert) on its own sample data
+(3 queries x 128 subjects x 500 bp, unit-cost global Myers).
+"""
+
+import os
+
+import numpy as np
+
+from bgsa_tpu import pipeline as pl_mod
+from bgsa_tpu.io import result as result_io
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def test_sample_data_matches_reference_golden(tmp_path):
+    res = str(tmp_path / "r.bin")
+    cfg = pl_mod.PipelineConfig(backend="xla")
+    stats = pl_mod.run_alignment(
+        os.path.join(REPO, "sample-data", "query.txt"),
+        os.path.join(REPO, "sample-data", "subject.txt"),
+        res,
+        config=cfg,
+    )
+    assert (stats.query_count, stats.subject_count) == (3, 128)
+    out = str(tmp_path / "conv.txt")
+    result_io.convert_result(res, out)
+    got = open(out).read()
+    want = open(os.path.join(HERE, "golden", "sample_myers_global.txt")).read()
+    assert got == want
