@@ -35,6 +35,8 @@ def align_main(argv=None) -> int:
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--shards", type=int, default=1,
                    help="local device shards (0 = all local devices)")
+    p.add_argument("--packed", action="store_true",
+                   help="packed bit-plane BitPAl representation (same scores)")
     p.add_argument("--bucket-size", type=int, default=None, help="database bucket bytes")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
@@ -45,7 +47,11 @@ def align_main(argv=None) -> int:
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
-    cfg_kwargs = {"backend": args.backend, "local_shards": args.shards}
+    cfg_kwargs = {
+        "backend": args.backend,
+        "local_shards": args.shards,
+        "bitpal_packed": args.packed,
+    }
     if args.bucket_size:
         cfg_kwargs["bucket_size"] = args.bucket_size
     config = pl_mod.PipelineConfig(**cfg_kwargs)

@@ -1,0 +1,309 @@
+"""BitPAl packed representation: vertical deltas as ceil(log2) bit planes.
+
+The perf variant of ops/bitpal.py: instead of one indicator plane per delta
+value (M-2G+1 planes), the state stores each row's delta class in
+``maxBitsNum = ceil(log2(M-2G+1))`` two's-complement bit planes (negated
+offset encoding: value v is stored as ``-(v - G) mod 2^bits``), and the
+column update runs two bit-plane ripple adders plus a small class-decode
+network — the structure the reference's generator emits in
+``BitPAlGenerator.genPackedCommon`` (cross-checked against its generated
+(2,-3,-5) uint32 instance, ``original/BGSA_KNC/align_core.c:19-485``).
+
+Applicability: the packed decode only covers classes [G, I-G], which bounds
+the scheme to ``M <= 2I - 2G + 1`` (otherwise the reference generator itself
+would emit references to undecoded classes); the engine falls back to the
+non-packed kernel outside that range. Scores are identical either way.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bitpal import BitpalParams, WORD_BITS, LANES, _valid_masks
+
+
+def packed_supported(p: BitpalParams) -> bool:
+    return p.match <= 2 * p.mismatch - 2 * p.gap + 1
+
+
+def _bits_num(p: BitpalParams) -> int:
+    # ceil(log2(maxLength + 1)) planes for the magnitude plus one for the
+    # negated encoding's sign (the generator's maxBitsNum: 5 for (2,-3,-5)).
+    max_length = p.maxv - p.minv
+    # ceil(log2(max_length + 1)) == max_length.bit_length()
+    return max(max_length.bit_length() + 1, 2)
+
+
+def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
+    """One query column over all words. state_w: list per word of lists of
+    nbits plane arrays. Returns new state (same structure)."""
+    W = len(matches_w)
+    minv, midv, maxv = p.minv, p.midv, p.maxv
+    CM = jnp.uint32((1 << WORD_BITS) - 1)
+    NEXT_HIGH = jnp.uint32(1 << (WORD_BITS - 1))  # bit 30 (next_high_one)
+    zeros = jnp.zeros_like(matches_w[0])
+
+    overflow = {}
+    prevbit = {v: zeros for v in range(midv + 1, maxv + 1)}
+    rowbit = [zeros] * nbits  # cross-word carries of the one-row shift
+    out = []
+
+    for w in range(W):
+        dhbit = list(state_w[w])
+        inv = [~b for b in dhbit]
+        matches = matches_w[w]
+        not_matches = ~matches
+
+        # Decode class indicators for v in [minv, midv]: value v is stored as
+        # two's complement of -(v - minv) across the planes.
+        dh = {}
+        for v in range(minv, midv + 1):
+            pattern = (-(v - minv)) & ((1 << nbits) - 1)
+            acc = None
+            for i in range(nbits):
+                term = dhbit[i] if (pattern >> i) & 1 else inv[i]
+                acc = term if acc is None else acc & term
+            dh[v] = acc
+        dh[minv] = dh[minv] & CM
+
+        # Phase A: horizontal-delta classes (midv, maxv], same propagation
+        # network as the non-packed kernel.
+        dv_shift = {}
+        init_max = dh[minv] & matches
+        s = init_max + dh[minv] + overflow.get(0, zeros)
+        dv_shift[maxv] = (s ^ dh[minv] ^ init_max) & CM
+        overflow[0] = s >> WORD_BITS
+        remain = dh[minv] ^ init_max
+        dv_max_or_match = dv_shift[maxv] | matches
+
+        oi = 1
+        for i in range(maxv - 1, midv, -1):
+            cnt = minv + (maxv - i)
+            init_i = dh[cnt] & dv_max_or_match
+            for x in range(1, maxv - i):
+                init_i = init_i | (dh[cnt - x] & dv_shift[maxv - x])
+            init_val = (init_i << 1) | prevbit[i]
+            prevbit[i] = init_val >> WORD_BITS
+            init_val = init_val & CM
+            s = init_val + remain + overflow.get(oi, zeros)
+            dv_shift[i] = (s ^ remain) & not_matches
+            overflow[oi] = s >> WORD_BITS
+            oi += 1
+
+        if maxv > midv + 1:
+            acc = dv_max_or_match
+            for i in range(maxv - 1, midv, -1):
+                acc = acc | dv_shift[i]
+            dv_not_hi = ~acc
+        else:
+            dv_not_hi = ~dv_max_or_match
+
+        def dv_name(v):
+            if v == midv:
+                return dv_not_hi
+            if v == maxv:
+                return dv_max_or_match
+            return dv_shift[v]
+
+        # Encode the horizontal classes into bit planes (mapped = v - minv).
+        dv_bit = []
+        for i in range(nbits):
+            acc = None
+            for v in range(midv, maxv + 1):
+                if ((v - minv) >> i) & 1:
+                    t = dv_name(v)
+                    acc = t if acc is None else acc | t
+            dv_bit.append(acc if acc is not None else zeros)
+
+        def plane_add(a, b):
+            carry = a[0] & b[0]
+            sums = [a[0] ^ b[0]]
+            for i in range(1, nbits):
+                x = a[i] ^ b[i]
+                sums.append(x ^ carry)
+                carry = (a[i] & b[i]) | (x & carry)
+            return sums
+
+        # mapped(DVprev) + mapped(H), clamp where the top bit sets, then
+        # shift one row up (cross-word rowbit carries).
+        sumbit = plane_add(dhbit, dv_bit)
+        comp = ~sumbit[nbits - 1]
+        sumbit = [sb & comp for sb in sumbit]
+        new_rowbit = [(sb & NEXT_HIGH) >> (WORD_BITS - 1) for sb in sumbit]
+        sumbit = [(sb << 1) | rb for sb, rb in zip(sumbit, rowbit)]
+        rowbit = new_rowbit
+
+        # Subtract mapped(H) at the same row: add its negation, built from
+        # the mark patterns (the generator's dhbit adjustment).
+        lo_mid = None
+        for v in range(minv, midv + 1):
+            lo_mid = dh[v] if lo_mid is None else lo_mid | dh[v]
+        lo_mid = lo_mid & not_matches
+        comp_lo_mid = ~lo_mid
+        mark1 = midv - minv - 1
+        mark2 = (maxv - minv) - 1
+        adj = []
+        for i in range(nbits):
+            b = dhbit[i]
+            if (mark1 >> i) & 1:
+                b = b & comp_lo_mid
+            else:
+                b = b | lo_mid
+            if (mark2 >> i) & 1:
+                b = b & not_matches
+            else:
+                b = b | matches
+            adj.append(b)
+
+        sumbit = plane_add(adj, sumbit)
+        top = sumbit[nbits - 1]
+        out.append([sb & top for sb in sumbit])
+
+    return out
+
+
+def _packed_init(p: BitpalParams, nbits: int, shape, W, semi_global: bool):
+    CM = jnp.uint32((1 << WORD_BITS) - 1)
+    if semi_global:
+        pattern = p.minv & ((1 << nbits) - 1)  # stored(-(0 - minv)) = minv mod 2^n
+    else:
+        pattern = 0  # stored value minv (DV = G boundary)
+    return [
+        [jnp.full(shape, CM if (pattern >> i) & 1 else jnp.uint32(0)) for i in range(nbits)]
+        for _ in range(W)
+    ]
+
+
+def _packed_global_score(state_w, p: BitpalParams, nbits: int, read_len, q_len, factor):
+    """score = G*m + sum_rows(2^top*b_top - sum_low 2^i*b_i - |G|)."""
+    masks = _valid_masks(read_len, len(state_w))
+    score = jnp.full_like(state_w[0][0], p.gap * q_len + p.gap * read_len, jnp.int32)
+    score = score.astype(jnp.int32)
+    for w, planes in enumerate(state_w):
+        for i in range(nbits):
+            c = lax.population_count(planes[i] & masks[w]).astype(jnp.int32)
+            weight = (1 << i) if i == nbits - 1 else -(1 << i)
+            score = score + jnp.int32(weight) * c
+    return score * jnp.int32(factor)
+
+
+def _packed_semiglobal_score(state_w, p: BitpalParams, nbits: int, read_len, q_len, factor):
+    one = jnp.uint32(1)
+    score = jnp.full_like(state_w[0][0], p.gap * q_len, jnp.int32).astype(jnp.int32)
+    best = score
+    for w, planes in enumerate(state_w):
+        bits = min(read_len - w * WORD_BITS, WORD_BITS)
+        for b in range(max(bits, 0)):
+            delta = jnp.full_like(score, p.gap)
+            for i in range(nbits):
+                weight = (1 << i) if i == nbits - 1 else -(1 << i)
+                delta = delta + jnp.int32(weight) * ((planes[i] >> b) & one).astype(jnp.int32)
+            score = score + delta
+            best = jnp.maximum(best, score)
+    return best * jnp.int32(factor)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "read_len", "factor", "semi_global"),
+)
+def bitpal_packed_xla(eq, queries, *, match, mismatch, gap, read_len,
+                      factor=1, semi_global=False):
+    """Portable backend. eq (5, W, S) uint32 (31-bit packing), queries (Q, m)."""
+    p = BitpalParams(match, mismatch, gap)
+    if not packed_supported(p):
+        raise ValueError(f"packed BitPAl requires M <= 2I - 2G + 1, got {p}")
+    nbits = _bits_num(p)
+    C, W, S = eq.shape
+    Q, m = queries.shape
+
+    def one_query(query):
+        def step(carry, c):
+            eq_c = lax.dynamic_index_in_dim(eq, c, axis=0, keepdims=False)
+            state_w = [[carry[w, i] for i in range(nbits)] for w in range(W)]
+            new = _packed_column(state_w, [eq_c[w] for w in range(W)], p, nbits)
+            return jnp.stack([jnp.stack(ws) for ws in new]), None
+
+        init = _packed_init(p, nbits, (S,), W, semi_global)
+        carry0 = jnp.stack([jnp.stack(ws) for ws in init])
+        final, _ = lax.scan(step, carry0, query)
+        state_w = [[final[w, i] for i in range(nbits)] for w in range(W)]
+        if semi_global:
+            return _packed_semiglobal_score(state_w, p, nbits, read_len, m, factor)
+        return _packed_global_score(state_w, p, nbits, read_len, m, factor)
+
+    return jax.vmap(one_query)(queries)
+
+
+def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_global):
+    W = eq_ref.shape[1]
+    tile = (eq_ref.shape[2], eq_ref.shape[3])
+
+    def column(i, carry):
+        c = q_ref[0, 0, i]
+        eq_c = eq_ref[c]
+        state_w = [[carry[w, b] for b in range(nbits)] for w in range(W)]
+        new = _packed_column(state_w, [eq_c[w] for w in range(W)], p, nbits)
+        return jnp.stack([jnp.stack(ws) for ws in new])
+
+    init = _packed_init(p, nbits, tile, W, semi_global)
+    carry0 = jnp.stack([jnp.stack(ws) for ws in init])
+    final = lax.fori_loop(0, q_len, column, carry0)
+    state_w = [[final[w, b] for b in range(nbits)] for w in range(W)]
+    if semi_global:
+        out_ref[0] = _packed_semiglobal_score(state_w, p, nbits, read_len, q_len, factor)
+    else:
+        out_ref[0] = _packed_global_score(state_w, p, nbits, read_len, q_len, factor)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_len", "factor", "semi_global",
+        "rows_per_block", "interpret",
+    ),
+)
+def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
+                  semi_global=False, rows_per_block: int = 64, interpret: bool = False):
+    """Pallas TPU backend; S % 128 == 0 -> (Q, S) int32 scores."""
+    p = BitpalParams(match, mismatch, gap)
+    if not packed_supported(p):
+        raise ValueError(f"packed BitPAl requires M <= 2I - 2G + 1, got {p}")
+    nbits = _bits_num(p)
+    C, W, S = eq.shape
+    Q, m = queries.shape
+    if S % LANES:
+        raise ValueError(f"subject count {S} must be a multiple of {LANES}")
+    rows = S // LANES
+    budget_rows = max((10 << 20) // ((nbits + C) * W * LANES * 4), 1)
+    r = min(rows_per_block, rows, budget_rows)
+    while rows % r:
+        r -= 1
+    nb = rows // r
+    eq4 = eq.reshape(C, W, rows, LANES)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, p=p, nbits=nbits, read_len=read_len, q_len=m, factor=factor,
+            semi_global=semi_global,
+        ),
+        grid=(nb, Q),
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda b, q: (q, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, W, r, LANES), lambda b, q: (0, 0, b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Q, rows, LANES), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * nbits * Q * m * W * S, bytes_accessed=eq.size * 4 + Q * S * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(queries, jnp.int32)[:, None, :], eq4)
+    return out.reshape(Q, S)

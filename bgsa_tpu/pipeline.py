@@ -64,6 +64,7 @@ class PipelineConfig:
     interpret: bool = False  # Pallas interpreter mode (tests)
     prefetch: int = 2
     local_shards: int = 1  # 1 = single device; 0 = all local devices; n = first n
+    bitpal_packed: bool = False  # packed bit-plane BitPAl (same scores)
 
 
 class Engine:
@@ -118,13 +119,20 @@ class Engine:
 
         def kernel(eq, qcodes):
             if scheme.algorithm is Algorithm.BITPAL:
-                from .ops import bitpal
+                from .ops import bitpal, bitpal_packed
 
                 kw = dict(
                     match=scheme.match, mismatch=scheme.mismatch, gap=scheme.gap,
                     read_len=s_len, factor=scheme.factor,
                     semi_global=scheme.mode is Mode.SEMI_GLOBAL,
                 )
+                params = bitpal.BitpalParams(scheme.match, scheme.mismatch, scheme.gap)
+                if config.bitpal_packed and bitpal_packed.packed_supported(params):
+                    if self.backend == "pallas":
+                        return bitpal_packed.bitpal_packed(
+                            eq, qcodes, interpret=config.interpret, **kw
+                        )
+                    return bitpal_packed.bitpal_packed_xla(eq, qcodes, **kw)
                 if self.backend == "pallas":
                     return bitpal.bitpal(eq, qcodes, interpret=config.interpret, **kw)
                 return bitpal.bitpal_xla(eq, qcodes, **kw)
