@@ -176,7 +176,27 @@ def _kernel(q_ref, chk_ref, init_lo_ref, init_hi_ref, inj_ref, out_ref, *,
         init_lo_ref[...], init_hi_ref[...], zeros, zeros, zeros, zeros,
         jnp.full(tile, k, jnp.int32), jnp.zeros(tile, jnp.int32),
     )
-    state = lax.fori_loop(0, q_len, column, state)
+    # Whole-block early exit (the reference's goto, lifted to block scope):
+    # run full 32-column batches under a while_loop whose condition also
+    # checks "every lane dead"; the ragged tail runs unconditionally after.
+    # Dead lanes report MAX_ERROR regardless, so this changes no output
+    # (and the skipped middle batches can't change live lanes — there are
+    # none when the loop exits early).
+    BATCH_COLS = 32
+    n_batches = q_len // BATCH_COLS
+
+    def batch_cond(carry):
+        b, state = carry
+        return jnp.logical_and(b < n_batches, jnp.logical_not(jnp.all(state[7] > 0)))
+
+    def batch_body(carry):
+        b, state = carry
+        base = b * BATCH_COLS
+        state = lax.fori_loop(0, BATCH_COLS, lambda i, st: column(base + i, st), state)
+        return b + 1, state
+
+    _, state = lax.while_loop(batch_cond, batch_body, (jnp.int32(0), state))
+    state = lax.fori_loop(n_batches * BATCH_COLS, q_len, column, state)
     out_ref[0] = _epilogue(state, h=h)
 
 
