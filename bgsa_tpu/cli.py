@@ -37,6 +37,8 @@ def align_main(argv=None) -> int:
                    help="local device shards (0 = all local devices)")
     p.add_argument("--packed", action="store_true",
                    help="packed bit-plane BitPAl representation (same scores)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run (skip completed buckets)")
     p.add_argument("--bucket-size", type=int, default=None, help="database bucket bytes")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
@@ -65,7 +67,8 @@ def align_main(argv=None) -> int:
             stats = run_banded(args.query, args.database, args.result, args.threshold, config)
         else:
             stats = pl_mod.run_alignment(
-                args.query, args.database, args.result, scoring, mode, config
+                args.query, args.database, args.result, scoring, mode, config,
+                resume=args.resume,
             )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

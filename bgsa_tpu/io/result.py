@@ -49,12 +49,14 @@ class ResultWriter:
     """Streams score blocks + manifest, mirroring the reference's write order."""
 
     def __init__(self, result_path: str, ref_count: int, block_num: int, device_num: int = 1,
-                 write_dtype=np.int16):
-        self.fp = open(result_path, "wb")
-        self.info_fp = open(result_path + ".info", "wb")
+                 write_dtype=np.int16, append: bool = False):
+        mode = "ab" if append else "wb"
+        self.fp = open(result_path, mode)
+        self.info_fp = open(result_path + ".info", mode)
         self.write_dtype = write_dtype
-        self.info_fp.write(struct.pack("<iiq", block_num, device_num, ref_count))
-        self.info_fp.flush()
+        if not append:
+            self.info_fp.write(struct.pack("<iiq", block_num, device_num, ref_count))
+            self.info_fp.flush()
 
     def start_bucket(self, device_counts: list[int], extra_count: int) -> None:
         """Record one database bucket's manifest entry (cal_cpu.c:350-352)."""
@@ -68,6 +70,44 @@ class ResultWriter:
     def close(self) -> None:
         self.fp.close()
         self.info_fp.close()
+
+
+def resume_point(result_path: str, ref_count: int, device_num: int = 1,
+                 write_dtype=np.int16, ref_bucket_count: int = REF_BUCKET_COUNT) -> int:
+    """Completed-bucket count for crash recovery; truncates partial tails.
+
+    The result pair is append-only (the reference writes it incrementally but
+    has no restart logic — SURVEY §5 checkpoint/resume: none). A bucket is
+    complete when all its score bytes exist; the .info record is written
+    before the scores, so after a crash the manifest may be one record ahead.
+    Truncates both files to the last complete bucket and returns its index+1.
+    """
+    import os
+
+    info_path = result_path + ".info"
+    if not (os.path.exists(info_path) and os.path.exists(result_path)):
+        return 0
+    try:
+        info = read_info(info_path)
+    except Exception:
+        return 0
+    if info.ref_count != ref_count:
+        return 0
+    itemsize = np.dtype(write_dtype).itemsize
+    result_size = os.path.getsize(result_path)
+    done = 0
+    offset = 0
+    for j in range(info.block_num):
+        bucket_bytes = sum(info.device_read_counts[j]) * ref_count * itemsize
+        if offset + bucket_bytes > result_size:
+            break
+        offset += bucket_bytes
+        done += 1
+    with open(result_path, "r+b") as f:
+        f.truncate(offset)
+    with open(info_path, "r+b") as f:
+        f.truncate(16 + done * (8 * info.device_num + 4))
+    return done
 
 
 def read_info(info_path: str) -> InfoData:

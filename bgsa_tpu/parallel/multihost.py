@@ -108,3 +108,44 @@ def merge_shards(result_path: str, shard_paths: list[str], metas: list[ShardMeta
                     cnt = metas[h].block_counts[j] * nq
                     out.write(shards[h][offsets[h] : offsets[h] + cnt].tobytes())
                     offsets[h] += cnt
+
+
+class DynamicBalancer:
+    """Measured-time ratio adaptation (the reference's ``-D`` mode).
+
+    Recency-weighted moving average over per-bucket compute times, following
+    ``adjust_device_ratio3`` (reference ``original/BGSA_KNC/global.c:120-168``):
+    each round, scale every host's ratio by ``t_host0 / t_host``; from round 2
+    on, blend with the ratio history weighted by round index (newer rounds
+    count more); host 0's ratio is pinned to 1. Even splits are optimal on
+    homogeneous TPU slices — this exists for heterogeneous deployments
+    (mixed chip generations, or chips sharing hosts with other work).
+    """
+
+    def __init__(self, n_hosts: int, initial_ratios=None):
+        self.n_hosts = n_hosts
+        self.ratios = list(initial_ratios) if initial_ratios else [1.0] * n_hosts
+        self.history: list[list[float]] = []
+
+    def update(self, times) -> list[float]:
+        """Feed one bucket's per-host compute times; returns the new ratios."""
+        times = [max(float(t), 1e-9) for t in times]
+        round_idx = len(self.history) + 1
+        scaled = [1.0] + [
+            self.ratios[i] * times[0] / times[i] for i in range(1, self.n_hosts)
+        ]
+        if round_idx == 1:
+            self.ratios = scaled
+        else:
+            total = 0
+            acc = [0.0] * self.n_hosts
+            for i, past in enumerate(self.history[1:], start=1):
+                for j in range(1, self.n_hosts):
+                    acc[j] += past[j] * (i + 1)
+                total += i + 1
+            total += round_idx
+            self.ratios = [1.0] + [
+                (acc[j] + scaled[j] * round_idx) / total for j in range(1, self.n_hosts)
+            ]
+        self.history.append(list(self.ratios))
+        return list(self.ratios)

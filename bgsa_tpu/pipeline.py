@@ -203,6 +203,7 @@ def run_alignment(
     config: PipelineConfig = PipelineConfig(),
     shard: tuple[int, int] | None = None,
     shard_ratios=None,
+    resume: bool = False,
 ):
     """Full aligner run, reference CLI semantics; returns run statistics.
 
@@ -210,6 +211,9 @@ def run_alignment(
     multi-host run: it scores its lane-aligned slice of every bucket and
     writes a raw shard file plus a ShardMeta (merge with
     parallel.multihost.merge_shards). Returns (stats, meta) in that case.
+
+    ``resume=True`` continues an interrupted run: completed buckets (found in
+    the existing result/.info pair, partial tails truncated) are skipped.
     """
     scheme = normalize(scoring, mode)
     engine = Engine(scheme, config)
@@ -231,6 +235,7 @@ def run_alignment(
     ]
 
     meta = None
+    done_buckets = 0
     if shard is not None:
         from .parallel.multihost import ShardMeta, host_slice
 
@@ -238,8 +243,11 @@ def run_alignment(
         writer_fp = open(result_path, "wb")
         meta = ShardMeta(host_id, n_hosts, len(queries), [], [])
     else:
+        if resume:
+            done_buckets = result_io.resume_point(result_path, len(queries))
         writer = result_io.ResultWriter(
-            result_path, ref_count=len(queries), block_num=db.bucket_count, device_num=1
+            result_path, ref_count=len(queries), block_num=db.bucket_count,
+            device_num=1, append=done_buckets > 0,
         )
 
     # Reader thread keeps the device fed (the reference's input_task thread).
@@ -253,10 +261,14 @@ def run_alignment(
     reader = threading.Thread(target=read_all, daemon=True)
     reader.start()
 
+    bucket_index = -1
     while True:
         bucket = buckets.get()
         if bucket is None:
             break
+        bucket_index += 1
+        if bucket_index < done_buckets:
+            continue  # completed before the interruption
         codes = bucket.codes
         if shard is not None:
             start, count = host_slice(bucket.count, n_hosts, host_id, v_num, shard_ratios)

@@ -71,3 +71,16 @@ def test_local_shards_engine(tmp_path, rng):
     a = open(res1, "rb").read()
     b = open(res4, "rb").read()
     assert a == b
+
+
+def test_dynamic_balancer_converges():
+    # host 1 is 3x faster than host 0: ratios should approach [1, 3]
+    bal = multihost.DynamicBalancer(2)
+    for _ in range(12):
+        r = bal.ratios
+        counts = multihost.split_counts(12800, 2, 128, r)
+        times = [counts[0] / 1.0, counts[1] / 3.0]
+        bal.update(times)
+    assert 2.5 < bal.ratios[1] < 3.5
+    counts = multihost.split_counts(12800, 2, 128, bal.ratios)
+    assert abs(counts[1] / counts[0] - 3.0) < 0.5

@@ -97,3 +97,27 @@ def test_bitpal_pipeline(tmp_path, rng):
     got = np.loadtxt(out, dtype=np.int64).reshape(2, 150)
     want = np.stack([align_scores(qi, s, Scoring(2, -3, -5)) for qi in q])
     np.testing.assert_array_equal(got, want)
+
+
+def test_resume_after_interruption(tmp_path, rng):
+    Q, m, S, n = 3, 30, 900, 40
+    qp, sp, q, s = make_files(tmp_path, rng, Q=Q, m=m, S=S, n=n)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=256 * (n + 1))
+    full = str(tmp_path / "full.bin")
+    pl_mod.run_alignment(qp, sp, full, config=cfg)
+
+    # simulate a crash: bucket 0+1 complete, bucket 2's record written but
+    # its scores only partially flushed
+    part = str(tmp_path / "part.bin")
+    import shutil
+
+    shutil.copy(full, part)
+    shutil.copy(full + ".info", part + ".info")
+    bucket_bytes = 256 * Q * 2
+    with open(part, "r+b") as f:
+        f.truncate(2 * bucket_bytes + 100)
+
+    stats = pl_mod.run_alignment(qp, sp, part, config=cfg, resume=True)
+    assert stats.subject_count == S - 2 * 256  # only the last bucket recomputed
+    assert open(part, "rb").read() == open(full, "rb").read()
+    assert open(part + ".info", "rb").read() == open(full + ".info", "rb").read()
