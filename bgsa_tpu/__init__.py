@@ -6,6 +6,7 @@ general integer scoring, and banded Myers verification — one parameterized
 kernel family instead of ten per-architecture C ports plus a Java generator.
 """
 
+from .api import align, encode_sequences
 from .schemes import Algorithm, Mode, NormalizedScheme, Scoring, normalize
 
 __all__ = [
@@ -13,6 +14,8 @@ __all__ = [
     "Mode",
     "NormalizedScheme",
     "Scoring",
+    "align",
+    "encode_sequences",
     "normalize",
 ]
 
