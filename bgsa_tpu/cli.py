@@ -35,8 +35,8 @@ def align_main(argv=None) -> int:
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--shards", type=int, default=1,
                    help="local device shards (0 = all local devices)")
-    p.add_argument("--packed", action="store_true",
-                   help="packed bit-plane BitPAl representation (same scores)")
+    p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=True,
+                   help="packed bit-plane BitPAl representation (same scores; default on)")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted run (skip completed buckets)")
     p.add_argument("--bucket-size", type=int, default=None, help="database bucket bytes")

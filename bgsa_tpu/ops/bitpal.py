@@ -271,7 +271,7 @@ def bitpal_xla(eq, queries, *, match: int, mismatch: int, gap: int, read_len: in
     return jax.vmap(one_query)(queries)
 
 
-def _kernel(q_ref, eq_ref, out_ref, *, p, read_len, q_len, factor, semi_global):
+def _kernel(q_ref, eq_ref, out_ref, *, p, read_len, q_len, factor, semi_global, unroll):
     W = eq_ref.shape[1]
 
     def column(i, carry):
@@ -284,7 +284,17 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, read_len, q_len, factor, semi_global):
     tile = (eq_ref.shape[2], eq_ref.shape[3])
     init = _init_planes(p, tile, W, semi_global)
     carry0 = jnp.stack([jnp.stack(init[v]) for v in p.values])
-    final = lax.fori_loop(0, q_len, column, carry0)
+
+    # Column unrolling (see myers_pallas): overlaps the next column's Eq load
+    # with compute in the latency-bound serial recurrence.
+    def column_u(i, carry):
+        for u in range(unroll):
+            carry = column(i * unroll + u, carry)
+        return carry
+
+    final = lax.fori_loop(0, q_len // unroll, column_u, carry0)
+    for i in range((q_len // unroll) * unroll, q_len):
+        final = column(i, final)
     planes = {v: [final[v - p.minv, w] for w in range(W)] for v in p.values}
     if semi_global:
         out_ref[0] = _semiglobal_score(planes, p, read_len, q_len, factor)
@@ -296,12 +306,12 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, read_len, q_len, factor, semi_global):
     jax.jit,
     static_argnames=(
         "match", "mismatch", "gap", "read_len", "factor", "semi_global",
-        "rows_per_block", "interpret",
+        "rows_per_block", "unroll", "interpret",
     ),
 )
 def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
            factor: int = 1, semi_global: bool = False, rows_per_block: int = 32,
-           interpret: bool = False):
+           unroll: int = 4, interpret: bool = False):
     """Pallas TPU backend. S % 128 == 0; returns (Q, S) int32 scores.
 
     Default rows_per_block is smaller than the Myers kernels': the non-packed
@@ -325,7 +335,7 @@ def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
     out = pl.pallas_call(
         functools.partial(
             _kernel, p=p, read_len=read_len, q_len=m, factor=factor,
-            semi_global=semi_global,
+            semi_global=semi_global, unroll=max(1, min(unroll, m)),
         ),
         grid=(nb, Q),
         in_specs=[

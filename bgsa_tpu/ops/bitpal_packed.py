@@ -241,7 +241,7 @@ def bitpal_packed_xla(eq, queries, *, match, mismatch, gap, read_len,
     return jax.vmap(one_query)(queries)
 
 
-def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_global):
+def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_global, unroll):
     W = eq_ref.shape[1]
     tile = (eq_ref.shape[2], eq_ref.shape[3])
 
@@ -254,7 +254,15 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_g
 
     init = _packed_init(p, nbits, tile, W, semi_global)
     carry0 = jnp.stack([jnp.stack(ws) for ws in init])
-    final = lax.fori_loop(0, q_len, column, carry0)
+
+    def column_u(i, carry):
+        for u in range(unroll):
+            carry = column(i * unroll + u, carry)
+        return carry
+
+    final = lax.fori_loop(0, q_len // unroll, column_u, carry0)
+    for i in range((q_len // unroll) * unroll, q_len):
+        final = column(i, final)
     state_w = [[final[w, b] for b in range(nbits)] for w in range(W)]
     if semi_global:
         out_ref[0] = _packed_semiglobal_score(state_w, p, nbits, read_len, q_len, factor)
@@ -266,11 +274,12 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_g
     jax.jit,
     static_argnames=(
         "match", "mismatch", "gap", "read_len", "factor", "semi_global",
-        "rows_per_block", "interpret",
+        "rows_per_block", "unroll", "interpret",
     ),
 )
 def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
-                  semi_global=False, rows_per_block: int = 64, interpret: bool = False):
+                  semi_global=False, rows_per_block: int = 64, unroll: int = 4,
+                  interpret: bool = False):
     """Pallas TPU backend; S % 128 == 0 -> (Q, S) int32 scores."""
     p = BitpalParams(match, mismatch, gap)
     if not packed_supported(p):
@@ -291,7 +300,7 @@ def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
     out = pl.pallas_call(
         functools.partial(
             _kernel, p=p, nbits=nbits, read_len=read_len, q_len=m, factor=factor,
-            semi_global=semi_global,
+            semi_global=semi_global, unroll=max(1, min(unroll, m)),
         ),
         grid=(nb, Q),
         in_specs=[

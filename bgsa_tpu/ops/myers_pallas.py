@@ -37,7 +37,7 @@ LANES = 128
 DEFAULT_ROWS = 128
 
 
-def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len):
+def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len, unroll):
     """One (subject_block, query) grid cell.
 
     q_ref:  SMEM (1, 1, q_len) int32 — this query's symbol codes.
@@ -81,13 +81,29 @@ def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len):
     vp0 = jnp.full((W,) + tile, carry_mask)
     vn0 = jnp.zeros((W,) + tile, jnp.uint32)
     score0 = jnp.full(tile, read_len, jnp.int32)
-    _, _, score = lax.fori_loop(0, q_len, column, (vp0, vn0, score0))
-    out_ref[0] = score * jnp.int32(factor)
+    # Unroll several columns per loop step. The recurrence itself is serial;
+    # the win is overlapping column i+1's Eq plane load + scalar work with
+    # column i's compute (measured on v5e, interleaved medians: unroll=10 is
+    # +20% over unroll=1; removing 40% of the vector ops changes nothing, so
+    # the loop is latency- not issue-bound).
+    state = (vp0, vn0, score0)
+
+    def column_u(i, state):
+        for u in range(unroll):
+            state = column(i * unroll + u, state)
+        return state
+
+    state = lax.fori_loop(0, q_len // unroll, column_u, state)
+    for i in range((q_len // unroll) * unroll, q_len):
+        state = column(i, state)
+    out_ref[0] = state[2] * jnp.int32(factor)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("read_len", "word_bits", "factor", "rows_per_block", "interpret"),
+    static_argnames=(
+        "read_len", "word_bits", "factor", "rows_per_block", "unroll", "interpret"
+    ),
 )
 def myers_global(
     eq,
@@ -97,6 +113,7 @@ def myers_global(
     word_bits: int = WORD_BITS,
     factor: int = -1,
     rows_per_block: int = DEFAULT_ROWS,
+    unroll: int = 10,
     interpret: bool = False,
 ):
     """Global unit-cost Myers scores on TPU.
@@ -112,7 +129,10 @@ def myers_global(
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
-    r = min(rows_per_block, rows)
+    # VMEM budget: Eq block (C planes) + VP/VN state (2) per word, double
+    # buffered by the pipeline — long subjects (large W) shrink the block.
+    budget_rows = max((24 << 20) // ((C + 2) * W * LANES * 4), 1)
+    r = min(rows_per_block, rows, budget_rows)
     while rows % r:
         r -= 1
     nb = rows // r
@@ -127,7 +147,8 @@ def myers_global(
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, read_len=read_len, word_bits=word_bits, factor=factor, q_len=m
+            _kernel, read_len=read_len, word_bits=word_bits, factor=factor, q_len=m,
+            unroll=max(1, min(unroll, m)),
         ),
         grid=grid,
         in_specs=[

@@ -84,7 +84,7 @@ def myers_semiglobal_xla(eq, queries, *, read_len: int, factor: int = -1, is_glo
     return jax.vmap(one_query)(queries)
 
 
-def _kernel(q_ref, eq_ref, out_ref, *, read_len, factor, q_len, is_global):
+def _kernel(q_ref, eq_ref, out_ref, *, read_len, factor, q_len, is_global, unroll):
     W, R, L = eq_ref.shape[1], eq_ref.shape[2], eq_ref.shape[3]
     tile = (R, L)
 
@@ -100,13 +100,27 @@ def _kernel(q_ref, eq_ref, out_ref, *, read_len, factor, q_len, is_global):
     pv0 = jnp.full((W,) + tile, jnp.uint32(0xFFFFFFFF))
     mv0 = jnp.zeros((W,) + tile, jnp.uint32)
     score0 = jnp.full(tile, read_len, jnp.int32)
-    pv, mv, score, mins = lax.fori_loop(0, q_len, column, (pv0, mv0, score0, score0))
-    result = score if is_global else mins
+    state = (pv0, mv0, score0, score0)
+
+    # Same column-unrolling as myers_pallas: the loop is latency-bound, not
+    # issue-bound; unrolling overlaps the next column's Eq load with compute.
+    def column_u(i, state):
+        for u in range(unroll):
+            state = column(i * unroll + u, state)
+        return state
+
+    state = lax.fori_loop(0, q_len // unroll, column_u, state)
+    for i in range((q_len // unroll) * unroll, q_len):
+        state = column(i, state)
+    result = state[2] if is_global else state[3]
     out_ref[0] = result * jnp.int32(factor)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("read_len", "factor", "rows_per_block", "interpret", "is_global")
+    jax.jit,
+    static_argnames=(
+        "read_len", "factor", "rows_per_block", "unroll", "interpret", "is_global"
+    ),
 )
 def myers_semiglobal(
     eq,
@@ -115,6 +129,7 @@ def myers_semiglobal(
     read_len: int,
     factor: int = -1,
     rows_per_block: int = 128,
+    unroll: int = 10,
     interpret: bool = False,
     is_global: bool = False,
 ):
@@ -125,7 +140,8 @@ def myers_semiglobal(
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
-    r = min(rows_per_block, rows)
+    budget_rows = max((24 << 20) // ((C + 2) * W * LANES * 4), 1)
+    r = min(rows_per_block, rows, budget_rows)
     while rows % r:
         r -= 1
     nb = rows // r
@@ -133,7 +149,8 @@ def myers_semiglobal(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, read_len=read_len, factor=factor, q_len=m, is_global=is_global
+            _kernel, read_len=read_len, factor=factor, q_len=m, is_global=is_global,
+            unroll=max(1, min(unroll, m)),
         ),
         grid=(nb, Q),
         in_specs=[
