@@ -77,7 +77,15 @@ def run_banded(
     result_path: str,
     threshold: int,
     config: PipelineConfig = PipelineConfig(),
-) -> RunStats:
+    shard: tuple[int, int] | None = None,
+    shard_ratios=None,
+    resume: bool = False,
+):
+    """Banded filter run; same multi-host/resume surface as run_alignment.
+
+    With ``shard=(host_id, n_hosts)`` writes this host's raw shard file and
+    returns (stats, ShardMeta) for parallel.multihost.merge_shards.
+    """
     engine = BandedEngine(threshold, config)
     stats = RunStats()
     t_start = time.perf_counter()
@@ -91,10 +99,24 @@ def run_banded(
         queries[s : s + config.ref_bucket_count]
         for s in range(0, len(queries), config.ref_bucket_count)
     ]
-    writer = result_io.ResultWriter(
-        result_path, ref_count=len(queries), block_num=db.bucket_count,
-        device_num=1, write_dtype=np.int8,
-    )
+
+    meta = None
+    done_buckets = 0
+    if shard is not None:
+        from .parallel.multihost import ShardMeta, host_slice
+
+        host_id, n_hosts = shard
+        writer_fp = open(result_path, "wb")
+        meta = ShardMeta(host_id, n_hosts, len(queries), [], [])
+    else:
+        if resume:
+            done_buckets = result_io.resume_point(
+                result_path, len(queries), write_dtype=np.int8
+            )
+        writer = result_io.ResultWriter(
+            result_path, ref_count=len(queries), block_num=db.bucket_count,
+            device_num=1, write_dtype=np.int8, append=done_buckets > 0,
+        )
 
     buckets: queue.Queue = queue.Queue(maxsize=config.prefetch)
 
@@ -105,23 +127,50 @@ def run_banded(
 
     threading.Thread(target=read_all, daemon=True).start()
 
+    bucket_index = -1
     while True:
         bucket = buckets.get()
         if bucket is None:
             break
-        writer.start_bucket([bucket.count], bucket.extra_count)
-        stats.subject_count += bucket.count - bucket.extra_count
+        bucket_index += 1
+        if bucket_index < done_buckets:
+            continue
+        codes = bucket.codes
+        if shard is not None:
+            from .parallel.multihost import host_slice
+
+            start, count = host_slice(
+                bucket.count, n_hosts, host_id, config.v_num, shard_ratios
+            )
+            codes = codes[start : start + count]
+            meta.block_counts.append(count)
+            meta.extra_counts.append(
+                bucket.extra_count if host_id == n_hosts - 1 else 0
+            )
+            stats.subject_count += count - meta.extra_counts[-1]
+        else:
+            writer.start_bucket([bucket.count], bucket.extra_count)
+            stats.subject_count += bucket.count - bucket.extra_count
+        if codes.shape[0] == 0:
+            continue
         t0 = time.perf_counter()
-        packed = engine.pack(bucket.codes, stats.query_len)
+        packed = engine.pack(codes, stats.query_len)
         stats.pack_time += time.perf_counter() - t0
         for qb in q_buckets:
             t0 = time.perf_counter()
             host_scores = np.asarray(engine.scores(qb, packed))
             stats.cal_time += time.perf_counter() - t0
             t0 = time.perf_counter()
-            writer.write_scores(host_scores)
+            if shard is not None:
+                writer_fp.write(host_scores.tobytes())
+            else:
+                writer.write_scores(host_scores)
             stats.write_time += time.perf_counter() - t0
 
+    if shard is not None:
+        writer_fp.close()
+        stats.total_time = time.perf_counter() - t_start
+        return stats, meta
     writer.close()
     stats.total_time = time.perf_counter() - t_start
     return stats

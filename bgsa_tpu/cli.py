@@ -39,6 +39,13 @@ def align_main(argv=None) -> int:
                    help="packed bit-plane BitPAl representation (same scores; default on)")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted run (skip completed buckets)")
+    p.add_argument("--host", default=None, metavar="I:N",
+                   help="multi-host role: this process scores host I's slice of "
+                        "every bucket (N hosts total), writing <result> as a raw "
+                        "shard plus <result>.meta.json; combine with 'merge'")
+    p.add_argument("-R", dest="ratio_file", default=None,
+                   help="device/host ratio file (reference -R: one positive "
+                        "float per host, whitespace-separated)")
     p.add_argument("--bucket-size", type=int, default=None, help="database bucket bytes")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
@@ -60,19 +67,42 @@ def align_main(argv=None) -> int:
     mode = Mode.SEMI_GLOBAL if args.semi_global else Mode.GLOBAL
     scoring = Scoring(args.match, args.mismatch, args.gap)
 
+    shard = None
+    ratios = None
+    if args.host is not None:
+        try:
+            host_id, n_hosts = (int(x) for x in args.host.split(":"))
+        except ValueError:
+            print(f"error: --host expects I:N, got {args.host!r}", file=sys.stderr)
+            return 1
+        if not 0 <= host_id < n_hosts:
+            print(f"error: --host {args.host}: need 0 <= I < N", file=sys.stderr)
+            return 1
+        shard = (host_id, n_hosts)
+    if args.ratio_file:
+        from .parallel.multihost import read_ratio_file
+
+        ratios = read_ratio_file(args.ratio_file, shard[1] if shard else args.shards)
+
     try:
         if args.threshold is not None:
             from .banded_pipeline import run_banded
 
-            stats = run_banded(args.query, args.database, args.result, args.threshold, config)
+            stats = run_banded(
+                args.query, args.database, args.result, args.threshold, config,
+                shard=shard, shard_ratios=ratios, resume=args.resume,
+            )
         else:
             stats = pl_mod.run_alignment(
                 args.query, args.database, args.result, scoring, mode, config,
-                resume=args.resume,
+                shard=shard, shard_ratios=ratios, resume=args.resume,
             )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    if shard is not None:
+        stats, meta = stats
+        meta.save(args.result + ".meta.json")
     if not args.quiet:
         print(f"score is {scoring.match}, {scoring.mismatch}, {scoring.gap}")
         print(stats.report())
@@ -102,11 +132,38 @@ def convert_main(argv=None) -> int:
     return 0
 
 
+def merge_main(argv=None) -> int:
+    """Merge per-host shard files (from ``align --host I:N``) into one
+    reference-layout result file (+ .info)."""
+    p = argparse.ArgumentParser(prog="bgsa-merge", description=merge_main.__doc__)
+    p.add_argument("shards", nargs="+", help="shard files, any order")
+    p.add_argument("-o", dest="output", required=True, help="merged result file")
+    p.add_argument("--banded", action="store_true", help="shards hold int8 banded scores")
+    args = p.parse_args(argv)
+
+    from .parallel.multihost import ShardMeta, merge_shards
+
+    metas = [ShardMeta.load(s + ".meta.json") for s in args.shards]
+    order = sorted(range(len(metas)), key=lambda i: metas[i].host_id)
+    shards = [args.shards[i] for i in order]
+    metas = [metas[i] for i in order]
+    n_hosts = metas[0].n_hosts
+    if len(metas) != n_hosts or [m.host_id for m in metas] != list(range(n_hosts)):
+        p.error(f"need exactly hosts 0..{n_hosts - 1}, got {[m.host_id for m in metas]}")
+    merge_shards(
+        args.output, shards, metas,
+        write_dtype=np.int8 if args.banded else np.int16,
+    )
+    return 0
+
+
 def main(argv=None) -> int:
-    """``python -m bgsa_tpu.cli [align|convert] ...`` dispatcher."""
+    """``python -m bgsa_tpu.cli [align|convert|merge] ...`` dispatcher."""
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "convert":
         return convert_main(argv[1:])
+    if argv and argv[0] == "merge":
+        return merge_main(argv[1:])
     if argv and argv[0] == "align":
         argv = argv[1:]
     return align_main(argv)

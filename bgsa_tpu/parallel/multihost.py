@@ -61,6 +61,32 @@ class ShardMeta:
     block_counts: list[int]  # this host's subject count per bucket
     extra_counts: list[int]  # pads (only the last host carries pads)
 
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f)
+
+    @classmethod
+    def load(cls, path: str) -> "ShardMeta":
+        import json
+
+        with open(path) as f:
+            return cls(**json.load(f))
+
+
+def read_ratio_file(path: str, n: int) -> list[float]:
+    """Reference ``-R`` file: n whitespace-separated positive floats
+    (``original/BGSA_KNC/global.c:35-53``)."""
+    with open(path) as f:
+        vals = [float(tok) for tok in f.read().split()]
+    if len(vals) < n:
+        raise ValueError(f"ratio file {path}: need {n} values, found {len(vals)}")
+    vals = vals[:n]
+    if any(v <= 0 for v in vals):
+        raise ValueError("device ratio can't be zero or negative")
+    return vals
+
 
 def merge_shards(result_path: str, shard_paths: list[str], metas: list[ShardMeta],
                  write_dtype=np.int16, ref_bucket_count: int = result_io.REF_BUCKET_COUNT):

@@ -84,3 +84,66 @@ def test_dynamic_balancer_converges():
     assert 2.5 < bal.ratios[1] < 3.5
     counts = multihost.split_counts(12800, 2, 128, bal.ratios)
     assert abs(counts[1] / counts[0] - 3.0) < 0.5
+
+
+def test_banded_multihost_roles_merge_equals_single(tmp_path, rng):
+    from bgsa_tpu.banded_pipeline import run_banded
+
+    Q, m, S, n = 4, 64, 700, 70
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    s[:40, :m] = q[0]  # some passing reads
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=256 * (n + 1), ref_bucket_count=3)
+    single = str(tmp_path / "single.bin")
+    run_banded(qp, sp, single, 8, cfg)
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single, write_dtype=np.int8, ref_bucket_count=3)
+
+    shard_paths, metas = [], []
+    for h in range(2):
+        p = str(tmp_path / f"shard{h}.bin")
+        stats, meta = run_banded(qp, sp, p, 8, cfg, shard=(h, 2))
+        shard_paths.append(p)
+        metas.append(meta)
+    merged = str(tmp_path / "merged.bin")
+    multihost.merge_shards(merged, shard_paths, metas, write_dtype=np.int8, ref_bucket_count=3)
+    conv_merged = str(tmp_path / "merged.txt")
+    result_io.convert_result(merged, conv_merged, write_dtype=np.int8, ref_bucket_count=3)
+    assert open(conv_merged).read() == open(conv_single).read()
+
+
+def test_cli_host_roles_and_merge(tmp_path, rng):
+    from bgsa_tpu import cli
+
+    Q, m, S, n = 3, 30, 600, 40
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+
+    single = str(tmp_path / "single.bin")
+    assert cli.main(["align", "-q", qp, "-d", sp, "-f", single, "--backend", "xla",
+                     "--quiet"]) == 0
+
+    # heterogeneous ratio file (reference -R format)
+    rfile = str(tmp_path / "ratios.txt")
+    open(rfile, "w").write("1.0 3.0\n")
+    shards = []
+    for h in range(2):
+        sh = str(tmp_path / f"sh{h}.bin")
+        assert cli.main(["align", "-q", qp, "-d", sp, "-f", sh, "--backend", "xla",
+                         "--quiet", "--host", f"{h}:2", "-R", rfile]) == 0
+        shards.append(sh)
+    merged = str(tmp_path / "merged.bin")
+    assert cli.main(["merge", *shards, "-o", merged]) == 0
+
+    conv_a = str(tmp_path / "a.txt")
+    conv_b = str(tmp_path / "b.txt")
+    result_io.convert_result(single, conv_a)
+    result_io.convert_result(merged, conv_b)
+    assert open(conv_a).read() == open(conv_b).read()
