@@ -100,6 +100,10 @@ def run_banded(
         for s in range(0, len(queries), config.ref_bucket_count)
     ]
 
+    # One compiled step per run: pad tail buckets to the full-bucket shape
+    # (see pipeline.run_alignment — compile time dwarfs compute otherwise).
+    pad_to = db.seqs_per_bucket if db.bucket_count > 1 else 0
+
     meta = None
     done_buckets = 0
     if shard is not None:
@@ -108,6 +112,8 @@ def run_banded(
         host_id, n_hosts = shard
         writer_fp = open(result_path, "wb")
         meta = ShardMeta(host_id, n_hosts, len(queries), [], [])
+        if pad_to:
+            pad_to = host_slice(pad_to, n_hosts, host_id, config.v_num, shard_ratios)[1]
     else:
         if resume:
             done_buckets = result_io.resume_point(
@@ -117,6 +123,13 @@ def run_banded(
             result_path, ref_count=len(queries), block_num=db.bucket_count,
             device_num=1, write_dtype=np.int8, append=done_buckets > 0,
         )
+
+    if pad_to:
+        t0 = time.perf_counter()
+        dummy = engine.pack(np.full((pad_to, db.length), 4, np.uint8), stats.query_len)
+        for nq in sorted({qb.shape[0] for qb in q_buckets}):
+            engine.scores(queries[:nq], dummy).block_until_ready()
+        stats.compile_time = time.perf_counter() - t0
 
     buckets: queue.Queue = queue.Queue(maxsize=config.prefetch)
 
@@ -153,12 +166,16 @@ def run_banded(
             stats.subject_count += bucket.count - bucket.extra_count
         if codes.shape[0] == 0:
             continue
+        real = codes.shape[0]
+        if real < pad_to:
+            pad = np.full((pad_to - real, codes.shape[1]), 4, codes.dtype)
+            codes = np.concatenate([codes, pad])
         t0 = time.perf_counter()
         packed = engine.pack(codes, stats.query_len)
         stats.pack_time += time.perf_counter() - t0
         for qb in q_buckets:
             t0 = time.perf_counter()
-            host_scores = np.asarray(engine.scores(qb, packed))
+            host_scores = np.asarray(engine.scores(qb, packed))[:, :real]
             stats.cal_time += time.perf_counter() - t0
             t0 = time.perf_counter()
             if shard is not None:

@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..banded_ref import MAX_ERROR, checkpoint_columns
+from . import blockutil
 
 LANES = 128
 
@@ -221,16 +222,16 @@ def banded(init_lo, init_hi, inj, queries, *, q_len: int, s_len: int, k: int,
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
-    r = min(rows_per_block, rows)
-    while rows % r:
-        r -= 1
-    nb = rows // r
+    r, rows_p = blockutil.choose_rows(rows, rows_per_block)
+    nb = rows_p // r
 
     chk = np.zeros((1, 1, m), np.int32)
     chk[0, 0] = _chk_array(q_len, s_len, k)
-    init_lo4 = init_lo.reshape(C, rows, LANES)
-    init_hi4 = init_hi.reshape(C, rows, LANES)
-    inj4 = jnp.transpose(inj, (1, 0, 2)).reshape(W, C, rows, LANES)
+    init_lo4 = blockutil.pad_rows(init_lo.reshape(C, rows, LANES), 1, rows_p)
+    init_hi4 = blockutil.pad_rows(init_hi.reshape(C, rows, LANES), 1, rows_p)
+    inj4 = blockutil.pad_rows(
+        jnp.transpose(inj, (1, 0, 2)).reshape(W, C, rows, LANES), 2, rows_p
+    )
 
     out = pl.pallas_call(
         functools.partial(_kernel, q_len=q_len, s_len=s_len, k=k),
@@ -243,7 +244,7 @@ def banded(init_lo, init_hi, inj, queries, *, q_len: int, s_len: int, k: int,
             pl.BlockSpec((W, C, r, LANES), lambda b, q: (0, 0, b, 0)),
         ],
         out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((Q, rows, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Q, rows_p, LANES), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=50 * Q * m * S, bytes_accessed=inj.size * 4 + Q * S * 4,
             transcendentals=0,
@@ -251,4 +252,4 @@ def banded(init_lo, init_hi, inj, queries, *, q_len: int, s_len: int, k: int,
         interpret=interpret,
     )(jnp.asarray(queries, jnp.int32)[:, None, :], jnp.asarray(chk),
       init_lo4, init_hi4, inj4)
-    return out.reshape(Q, S)
+    return out[:, :rows].reshape(Q, S)

@@ -25,6 +25,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import blockutil
 from .bitpal import BitpalParams, WORD_BITS, LANES, _valid_masks
 
 
@@ -291,11 +292,9 @@ def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
     budget_rows = max((10 << 20) // ((nbits + C) * W * LANES * 4), 1)
-    r = min(rows_per_block, rows, budget_rows)
-    while rows % r:
-        r -= 1
-    nb = rows // r
-    eq4 = eq.reshape(C, W, rows, LANES)
+    r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
+    nb = rows_p // r
+    eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)
 
     out = pl.pallas_call(
         functools.partial(
@@ -308,11 +307,11 @@ def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
             pl.BlockSpec((C, W, r, LANES), lambda b, q: (0, 0, b, 0)),
         ],
         out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((Q, rows, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Q, rows_p, LANES), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=15 * nbits * Q * m * W * S, bytes_accessed=eq.size * 4 + Q * S * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(jnp.asarray(queries, jnp.int32)[:, None, :], eq4)
-    return out.reshape(Q, S)
+    return out[:, :rows].reshape(Q, S)

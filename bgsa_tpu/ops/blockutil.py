@@ -1,0 +1,35 @@
+"""Grid-block sizing shared by the Pallas kernel wrappers.
+
+Mosaic requires the sublane (second-to-last) block dimension to be a multiple
+of 8 or equal to the array dimension. Subject counts are only guaranteed to
+be multiples of 128 (one lane row), so instead of searching for divisors of
+the row count (which can be as bad as 2 — e.g. 5942 rows for a 760k-subject
+bucket), blocks are 8-sublane-aligned and the row axis is zero-padded up to a
+block multiple; pad scores are computed and discarded.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def choose_rows(rows: int, *limits: int) -> tuple[int, int]:
+    """(rows_per_block, padded_rows) with the Mosaic sublane constraint."""
+    r = min(rows, *limits)
+    if r <= 0:
+        r = 1
+    if r >= rows:
+        return rows, rows
+    r = max(r - r % 8, 8)
+    padded = -(-rows // r) * r
+    return r, padded
+
+
+def pad_rows(arr, axis: int, padded: int):
+    """Zero-pad ``arr`` along ``axis`` up to ``padded`` rows."""
+    rows = arr.shape[axis]
+    if rows == padded:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, padded - rows)
+    return jnp.pad(arr, widths)

@@ -29,6 +29,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import blockutil
+
 WORD_BITS = 31
 LANES = 128
 # Sublane rows per grid block (128 -> 16384 subjects/block). The column
@@ -132,11 +134,9 @@ def myers_global(
     # VMEM budget: Eq block (C planes) + VP/VN state (2) per word, double
     # buffered by the pipeline — long subjects (large W) shrink the block.
     budget_rows = max((24 << 20) // ((C + 2) * W * LANES * 4), 1)
-    r = min(rows_per_block, rows, budget_rows)
-    while rows % r:
-        r -= 1
-    nb = rows // r
-    eq4 = eq.reshape(C, W, rows, LANES)
+    r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
+    nb = rows_p // r
+    eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)
 
     grid = (nb, Q)  # query fastest -> Eq block stays resident across queries
     flops_per_cell = 20
@@ -156,8 +156,8 @@ def myers_global(
             pl.BlockSpec((C, W, r, LANES), lambda b, q: (0, 0, b, 0)),
         ],
         out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((Q, rows, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Q, rows_p, LANES), jnp.int32),
         cost_estimate=cost,
         interpret=interpret,
     )(queries.astype(jnp.int32)[:, None, :], eq4)
-    return out.reshape(Q, S)
+    return out[:, :rows].reshape(Q, S)

@@ -21,6 +21,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import blockutil
+
 WORD_BITS = 32  # full words (the reference's full_bits=1 path)
 
 
@@ -141,11 +143,9 @@ def myers_semiglobal(
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
     budget_rows = max((24 << 20) // ((C + 2) * W * LANES * 4), 1)
-    r = min(rows_per_block, rows, budget_rows)
-    while rows % r:
-        r -= 1
-    nb = rows // r
-    eq4 = eq.reshape(C, W, rows, LANES)
+    r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
+    nb = rows_p // r
+    eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)
 
     out = pl.pallas_call(
         functools.partial(
@@ -158,10 +158,10 @@ def myers_semiglobal(
             pl.BlockSpec((C, W, r, LANES), lambda b, q: (0, 0, b, 0)),
         ],
         out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((Q, rows, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Q, rows_p, LANES), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=30 * Q * m * W * S, bytes_accessed=eq.size * 4 + Q * S * 4, transcendentals=0
         ),
         interpret=interpret,
     )(queries.astype(jnp.int32)[:, None, :], eq4)
-    return out.reshape(Q, S)
+    return out[:, :rows].reshape(Q, S)

@@ -103,6 +103,31 @@ def pack_eq_jax(codes, word_bits: int = 31):
     return jnp.stack(planes)  # (C, W, S)
 
 
+def nibble_pack(codes: np.ndarray) -> np.ndarray:
+    """Host-side transport packing: two symbol codes (0..4) per byte.
+
+    Shrinks the host->device subject upload 8x vs int32 codes — the dominant
+    end-to-end cost at production sizes (the reference never ships raw text to
+    a device either: its offload sends pre-packed Eq planes, R12).
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    S, n = codes.shape
+    if n % 2:
+        codes = np.concatenate([codes, np.full((S, 1), 0, np.uint8)], axis=1)
+    return codes[:, 0::2] | (codes[:, 1::2] << 4)
+
+
+def nibble_unpack_jax(nib, length: int):
+    """Device-side inverse of nibble_pack: (S, ceil(n/2)) uint8 -> (S, n) int32."""
+    import jax.numpy as jnp
+
+    nib = jnp.asarray(nib, jnp.uint8)
+    lo = nib & jnp.uint8(0xF)
+    hi = nib >> 4
+    out = jnp.stack([lo, hi], axis=-1).reshape(nib.shape[0], -1)
+    return out[:, :length].astype(jnp.int32)
+
+
 def encode_ascii_jax(ascii_bytes):
     """Device-side ASCII -> code mapping."""
     import jax.numpy as jnp

@@ -21,6 +21,7 @@ class RunStats:
     pack_time: float = 0.0
     cal_time: float = 0.0
     write_time: float = 0.0
+    compile_time: float = 0.0  # XLA compile (no reference analogue)
     total_time: float = 0.0
 
     @property
@@ -41,6 +42,7 @@ class RunStats:
             f"subject_len   is {self.subject_len}",
             f"subject_count is {self.subject_count}",
             "",
+            f"compile_time        is {self.compile_time:.2f}s",
             f"cal_total_times     is {self.cal_time:.2f}s",
             f"total time          is {self.total_time:.2f}s",
             f"cal GCUPS is {self.gcups(self.cal_time):.2f}",

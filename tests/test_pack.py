@@ -36,3 +36,14 @@ def test_pack_jax_matches_numpy(rng):
         want = pack.pack_eq(codes, word_bits)
         got = np.asarray(jax.jit(pack.pack_eq_jax, static_argnames="word_bits")(codes, word_bits))
         np.testing.assert_array_equal(got, want)
+
+
+def test_nibble_roundtrip(rng):
+    from bgsa_tpu import pack
+
+    for n in (7, 8, 150):
+        codes = rng.integers(0, 5, size=(9, n)).astype(np.uint8)
+        nib = pack.nibble_pack(codes)
+        assert nib.shape == (9, (n + 1) // 2)
+        back = np.asarray(pack.nibble_unpack_jax(nib, n))
+        np.testing.assert_array_equal(back, codes)
