@@ -47,7 +47,11 @@ class BandedEngine:
         from .ops import banded as banded_ops
 
         @jax.jit
-        def step(qcodes, init_lo, init_hi, inj):
+        def step(qcodes, snib):
+            # Subjects travel nibble-packed; banded packing runs on the VPU
+            # (the reference burns host cores in its banded handle_reads).
+            scodes = pack.nibble_unpack_jax(snib, s_len)
+            init_lo, init_hi, inj = pack.pack_banded_jax(scodes, k, q_len)
             if self.backend == "pallas":
                 s = banded_ops.banded(
                     init_lo, init_hi, inj, qcodes, q_len=q_len, s_len=s_len, k=k,
@@ -62,13 +66,12 @@ class BandedEngine:
         return step
 
     def scores(self, query_codes: np.ndarray, packed):
-        init_lo, init_hi, inj = packed
-        step = self._step(query_codes.shape[1], self._s_len)
-        return step(query_codes.astype(np.int32), init_lo, init_hi, inj)
+        snib, s_len = packed
+        step = self._step(query_codes.shape[1], s_len)
+        return step(query_codes.astype(np.int32), snib)
 
     def pack(self, subject_codes: np.ndarray, q_len: int):
-        self._s_len = subject_codes.shape[1]
-        return pack.pack_banded(subject_codes, self.k, q_len)
+        return pack.nibble_pack(subject_codes), subject_codes.shape[1]
 
 
 def run_banded(

@@ -136,6 +136,45 @@ def encode_ascii_jax(ascii_bytes):
     return jnp.take(table, jnp.asarray(ascii_bytes, jnp.int32), axis=0)
 
 
+def pack_banded_jax(codes, threshold: int, query_len: int):
+    """Device-side pack_banded (same outputs; see pack_banded for layout).
+
+    The injection stream is exactly an Eq packing (full 32-bit words) of the
+    subject slice starting at position k; the initial window is k one-hot
+    bits shifted into place.
+    """
+    import jax.numpy as jnp
+
+    codes = jnp.atleast_2d(jnp.asarray(codes, jnp.int32))
+    S, L = codes.shape
+    k = threshold
+    lo = jnp.zeros((CHAR_NUM, S), jnp.uint32)
+    hi = jnp.zeros((CHAR_NUM, S), jnp.uint32)
+    for i in range(min(k, L)):
+        pos = k + 1 + i
+        onehot = jnp.stack(
+            [(codes[:, i] == c).astype(jnp.uint32) for c in range(CHAR_NUM)]
+        )
+        if pos < 32:
+            lo = lo | (onehot << pos)
+        else:
+            hi = hi | (onehot << (pos - 32))
+
+    n_inj = max(query_len - k, 1)
+    W = -(-n_inj // 32)
+    avail = max(min(n_inj, L - k), 0)
+    if avail:
+        inj = pack_eq_jax(codes[:, k : k + avail], 32)  # (C, W_avail, S)
+        wa = inj.shape[1]
+        if wa < W:
+            inj = jnp.concatenate(
+                [inj, jnp.zeros((CHAR_NUM, W - wa, S), jnp.uint32)], axis=1
+            )
+    else:
+        inj = jnp.zeros((CHAR_NUM, W, S), jnp.uint32)
+    return lo, hi, inj
+
+
 def pack_banded(codes: np.ndarray, threshold: int, query_len: int):
     """Banded packing: initial 64-bit Peq window + per-column injection bits.
 

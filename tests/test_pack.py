@@ -47,3 +47,15 @@ def test_nibble_roundtrip(rng):
         assert nib.shape == (9, (n + 1) // 2)
         back = np.asarray(pack.nibble_unpack_jax(nib, n))
         np.testing.assert_array_equal(back, codes)
+
+
+def test_pack_banded_jax_matches_numpy(rng):
+    from bgsa_tpu import pack
+
+    for S, L, k, m in ((9, 70, 6, 64), (4, 40, 3, 50), (3, 33, 8, 33)):
+        codes = rng.integers(0, 5, size=(S, L))
+        lo, hi, inj = pack.pack_banded(codes, k, m)
+        jlo, jhi, jinj = (np.asarray(x) for x in pack.pack_banded_jax(codes, k, m))
+        np.testing.assert_array_equal(jlo, lo)
+        np.testing.assert_array_equal(jhi, hi)
+        np.testing.assert_array_equal(jinj, inj)
