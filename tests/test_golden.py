@@ -31,3 +31,23 @@ def test_sample_data_matches_reference_golden(tmp_path):
     got = open(out).read()
     want = open(os.path.join(HERE, "golden", "sample_myers_global.txt")).read()
     assert got == want
+
+
+def test_multibucket_matches_reference_golden(tmp_path):
+    """Bucket boundaries, tail-bucket shape padding, and N-lane pads — the
+    golden scores were produced by the compiled reference on a 2000-subject
+    file split into 4 buckets (bucket_size=40000)."""
+    res = str(tmp_path / "r.bin")
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=40000)
+    stats = pl_mod.run_alignment(
+        os.path.join(HERE, "golden", "multibucket_query.txt"),
+        os.path.join(HERE, "golden", "multibucket_subject.txt"),
+        res,
+        config=cfg,
+    )
+    assert (stats.query_count, stats.subject_count) == (5, 2000)
+    out = str(tmp_path / "conv.txt")
+    result_io.convert_result(res, out)
+    got = open(out).read()
+    want = open(os.path.join(HERE, "golden", "multibucket_scores.txt")).read()
+    assert got == want
