@@ -51,3 +51,25 @@ def test_multibucket_matches_reference_golden(tmp_path):
     got = open(out).read()
     want = open(os.path.join(HERE, "golden", "multibucket_scores.txt")).read()
     assert got == want
+
+
+def test_sample_bitpal_matches_reference_golden(tmp_path):
+    """Golden produced by the reference's committed generated BitPAl kernel
+    (original/BGSA_AVX2/align_core.c: match 2, mismatch -3, gap -5), compiled
+    and run on sample-data. Our raw result file is byte-identical too."""
+    from bgsa_tpu.schemes import Scoring
+
+    res = str(tmp_path / "r.bin")
+    cfg = pl_mod.PipelineConfig(backend="xla")
+    pl_mod.run_alignment(
+        os.path.join(REPO, "sample-data", "query.txt"),
+        os.path.join(REPO, "sample-data", "subject.txt"),
+        res,
+        scoring=Scoring(2, -3, -5),
+        config=cfg,
+    )
+    out = str(tmp_path / "conv.txt")
+    result_io.convert_result(res, out)
+    got = open(out).read()
+    want = open(os.path.join(HERE, "golden", "sample_bitpal_2_m3_m5.txt")).read()
+    assert got == want
