@@ -53,10 +53,10 @@ class BandedEngine:
             scodes = pack.nibble_unpack_jax(snib, s_len)
             init_lo, init_hi, inj = pack.pack_banded_jax(scodes, k, q_len)
             if self.backend == "pallas":
-                s = banded_ops.banded(
-                    init_lo, init_hi, inj, qcodes, q_len=q_len, s_len=s_len, k=k,
-                    rows_per_block=config.rows_per_block, interpret=config.interpret,
-                )
+                kw2 = dict(q_len=q_len, s_len=s_len, k=k, interpret=config.interpret)
+                if config.rows_per_block:
+                    kw2["rows_per_block"] = config.rows_per_block
+                s = banded_ops.banded(init_lo, init_hi, inj, qcodes, **kw2)
             else:
                 s = banded_ops.banded_xla(
                     init_lo, init_hi, inj, qcodes, q_len=q_len, s_len=s_len, k=k

@@ -312,8 +312,8 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, read_len, q_len, factor, semi_global, 
     ),
 )
 def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
-           factor: int = 1, semi_global: bool = False, rows_per_block: int = 32,
-           unroll: int = 4, interpret: bool = False):
+           factor: int = 1, semi_global: bool = False, rows_per_block: int = 16,
+           unroll: int = 10, interpret: bool = False):
     """Pallas TPU backend. S % 128 == 0; returns (Q, S) int32 scores.
 
     Default rows_per_block is smaller than the Myers kernels': the non-packed
@@ -335,7 +335,7 @@ def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
     out = pl.pallas_call(
         functools.partial(
             _kernel, p=p, read_len=read_len, q_len=m, factor=factor,
-            semi_global=semi_global, unroll=max(1, min(unroll, m)),
+            semi_global=semi_global, unroll=1 if interpret else max(1, min(unroll, m)),
         ),
         grid=(nb, Q),
         in_specs=[

@@ -279,7 +279,7 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_g
     ),
 )
 def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
-                  semi_global=False, rows_per_block: int = 64, unroll: int = 4,
+                  semi_global=False, rows_per_block: int = 8, unroll: int = 10,
                   interpret: bool = False):
     """Pallas TPU backend; S % 128 == 0 -> (Q, S) int32 scores."""
     p = BitpalParams(match, mismatch, gap)
@@ -299,7 +299,7 @@ def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
     out = pl.pallas_call(
         functools.partial(
             _kernel, p=p, nbits=nbits, read_len=read_len, q_len=m, factor=factor,
-            semi_global=semi_global, unroll=max(1, min(unroll, m)),
+            semi_global=semi_global, unroll=1 if interpret else max(1, min(unroll, m)),
         ),
         grid=(nb, Q),
         in_specs=[

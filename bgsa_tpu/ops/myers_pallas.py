@@ -33,10 +33,11 @@ from . import blockutil
 
 WORD_BITS = 31
 LANES = 128
-# Sublane rows per grid block (128 -> 16384 subjects/block). The column
-# recurrence is one serial dependency chain; wide tiles are what fill the VPU
-# pipeline (measured on v5e: R=16 -> 174 GCUPS, R=128 -> ~1.4 TCUPS).
-DEFAULT_ROWS = 128
+# Sublane rows per grid block (64 -> 8192 subjects/block). The column
+# recurrence is one serial dependency chain; wide-but-not-huge tiles win:
+# kernel-only on v5e, R=16 -> 174 GCUPS, R=128 -> ~5.0 TCUPS, R=64 -> ~5.6,
+# R=256 -> ~4.0 (VMEM pressure).
+DEFAULT_ROWS = 64
 
 
 def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len, unroll):
@@ -85,9 +86,8 @@ def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len, unrol
     score0 = jnp.full(tile, read_len, jnp.int32)
     # Unroll several columns per loop step. The recurrence itself is serial;
     # the win is overlapping column i+1's Eq plane load + scalar work with
-    # column i's compute (measured on v5e, interleaved medians: unroll=10 is
-    # +20% over unroll=1; removing 40% of the vector ops changes nothing, so
-    # the loop is latency- not issue-bound).
+    # column i's compute (kernel-only interleaved medians on v5e: unroll=20 is
+    # +41% over unroll=1, plateau by 20-25).
     state = (vp0, vn0, score0)
 
     def column_u(i, state):
@@ -115,7 +115,7 @@ def myers_global(
     word_bits: int = WORD_BITS,
     factor: int = -1,
     rows_per_block: int = DEFAULT_ROWS,
-    unroll: int = 10,
+    unroll: int = 20,
     interpret: bool = False,
 ):
     """Global unit-cost Myers scores on TPU.
@@ -148,7 +148,7 @@ def myers_global(
     out = pl.pallas_call(
         functools.partial(
             _kernel, read_len=read_len, word_bits=word_bits, factor=factor, q_len=m,
-            unroll=max(1, min(unroll, m)),
+            unroll=1 if interpret else max(1, min(unroll, m)),
         ),
         grid=grid,
         in_specs=[

@@ -130,8 +130,8 @@ def myers_semiglobal(
     *,
     read_len: int,
     factor: int = -1,
-    rows_per_block: int = 128,
-    unroll: int = 10,
+    rows_per_block: int = 32,
+    unroll: int = 20,
     interpret: bool = False,
     is_global: bool = False,
 ):
@@ -150,7 +150,7 @@ def myers_semiglobal(
     out = pl.pallas_call(
         functools.partial(
             _kernel, read_len=read_len, factor=factor, q_len=m, is_global=is_global,
-            unroll=max(1, min(unroll, m)),
+            unroll=1 if interpret else max(1, min(unroll, m)),
         ),
         grid=(nb, Q),
         in_specs=[

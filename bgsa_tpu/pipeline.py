@@ -59,7 +59,7 @@ class PipelineConfig:
     bucket_size: int = seqfile.DEFAULT_BUCKET_SIZE
     ref_bucket_count: int = seqfile.REF_BUCKET_COUNT
     v_num: int = 128  # subject pad unit; must be a multiple of 128 for Pallas
-    rows_per_block: int = 128
+    rows_per_block: int | None = None  # None = per-kernel tuned default
     backend: str = "auto"  # "pallas" | "xla" | "auto"
     interpret: bool = False  # Pallas interpreter mode (tests)
     prefetch: int = 2
@@ -142,29 +142,22 @@ class Engine:
                 from .ops import myers_semiglobal
 
                 if self.backend == "pallas":
-                    return myers_semiglobal.myers_semiglobal(
-                        eq,
-                        qcodes,
-                        read_len=s_len,
-                        factor=scheme.factor,
-                        rows_per_block=config.rows_per_block,
-                        interpret=config.interpret,
-                    )
+                    kw2 = dict(read_len=s_len, factor=scheme.factor,
+                               interpret=config.interpret)
+                    if config.rows_per_block:
+                        kw2["rows_per_block"] = config.rows_per_block
+                    return myers_semiglobal.myers_semiglobal(eq, qcodes, **kw2)
                 return myers_semiglobal.myers_semiglobal_xla(
                     eq, qcodes, read_len=s_len, factor=scheme.factor
                 )
             from .ops import myers_pallas, myers_xla
 
             if self.backend == "pallas":
-                return myers_pallas.myers_global(
-                    eq,
-                    qcodes,
-                    read_len=s_len,
-                    word_bits=word_bits,
-                    factor=scheme.factor,
-                    rows_per_block=config.rows_per_block,
-                    interpret=config.interpret,
-                )
+                kw2 = dict(read_len=s_len, word_bits=word_bits,
+                           factor=scheme.factor, interpret=config.interpret)
+                if config.rows_per_block:
+                    kw2["rows_per_block"] = config.rows_per_block
+                return myers_pallas.myers_global(eq, qcodes, **kw2)
             return myers_xla.myers_global(
                 eq, qcodes, read_len=s_len, word_bits=word_bits, factor=scheme.factor
             )
