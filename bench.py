@@ -28,7 +28,7 @@ def main():
     import jax.numpy as jnp
 
     from bgsa_tpu import oracle, pack
-    from bgsa_tpu.ops import myers_pallas, myers_xla
+    from bgsa_tpu.ops import myers_semiglobal, myers_xla
 
     try:
         on_tpu = jax.default_backend() == "tpu"
@@ -43,12 +43,16 @@ def main():
     rng = np.random.default_rng(0)
     queries = rng.integers(0, 4, size=(Q, m)).astype(np.int32)
     subjects = rng.integers(0, 4, size=(S, n))
-    eq = jax.device_put(pack.pack_eq(subjects, 31))
     qd = jax.device_put(queries)
 
     if on_tpu:
-        run = lambda: myers_pallas.myers_global(eq, qd, read_len=n, factor=-1)
+        # the pipeline's TPU path: full-word block kernel in global mode
+        eq = jax.device_put(pack.pack_eq(subjects, 32))
+        run = lambda: myers_semiglobal.myers_semiglobal(
+            eq, qd, read_len=n, factor=-1, is_global=True
+        )
     else:
+        eq = jax.device_put(pack.pack_eq(subjects, 31))
         run = lambda: myers_xla.myers_global(eq, qd, read_len=n, factor=-1)
 
     # correctness gate (full result, untimed)

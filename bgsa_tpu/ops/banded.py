@@ -214,7 +214,7 @@ def _kernel(q_ref, chk_ref, init_lo_ref, init_hi_ref, inj_ref, out_ref, *,
     jax.jit, static_argnames=("q_len", "s_len", "k", "rows_per_block", "interpret")
 )
 def banded(init_lo, init_hi, inj, queries, *, q_len: int, s_len: int, k: int,
-           rows_per_block: int = 128, interpret: bool = False):
+           rows_per_block: int = 32, interpret: bool = False):
     """Pallas TPU backend; S % 128 == 0. Returns (Q, S) int32 scores."""
     C, S = init_lo.shape
     Q, m = queries.shape

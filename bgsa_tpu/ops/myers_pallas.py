@@ -65,7 +65,11 @@ def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len, unrol
             pm = eq_c[j] | vn[j]
             s = (vp[j] & pm) + vp[j] + add_carry
             add_carry = s >> word_bits
-            d0 = ((s & carry_mask) ^ vp[j]) | pm
+            # No mask on s: its bit 31 (the add carry) leaks into d0/hp, but
+            # every consumer either masks (vp'/vn') or shifts it out (hp<<1),
+            # and maskh is always below bit 31 — one op less on the hot chain
+            # (+4% kernel-only, exact parity).
+            d0 = (s ^ vp[j]) | pm
             hp = ~(d0 | vp[j]) | vn[j]
             hn = d0 & vp[j]
             if j == W - 1:

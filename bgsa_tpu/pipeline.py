@@ -106,10 +106,16 @@ class Engine:
 
     @property
     def word_bits(self) -> int:
-        # Global Myers reserves the top bit for the in-word add carry; the
-        # semi-global block formulation threads deltas between words and uses
-        # full words (the reference's full_bits flag, GeneratorUtils.java:66-70).
-        if self.scheme.algorithm is Algorithm.MYERS and self.scheme.mode is Mode.SEMI_GLOBAL:
+        # The reserved-carry layout (31 usable bits) exists for the multiword
+        # add chain; the full-word block formulation threads an explicit
+        # horizontal delta instead (the reference's full_bits path,
+        # GeneratorUtils.java:66-70). On TPU the full-word kernel measures
+        # ~6% faster even for global scoring (see docs/PERF.md), so the
+        # Pallas path uses it for every Myers mode; the XLA twin keeps the
+        # reference's 31-bit global kernel.
+        if self.scheme.algorithm is Algorithm.MYERS and (
+            self.scheme.mode is Mode.SEMI_GLOBAL or self.backend == "pallas"
+        ):
             return 32
         return 31
 
@@ -138,26 +144,24 @@ class Engine:
                 if self.backend == "pallas":
                     return bitpal.bitpal(eq, qcodes, interpret=config.interpret, **kw)
                 return bitpal.bitpal_xla(eq, qcodes, **kw)
-            if scheme.mode is Mode.SEMI_GLOBAL:
+            is_semi = scheme.mode is Mode.SEMI_GLOBAL
+            if self.backend == "pallas":
+                # Full-word block kernel for both modes (word_bits == 32).
                 from .ops import myers_semiglobal
 
-                if self.backend == "pallas":
-                    kw2 = dict(read_len=s_len, factor=scheme.factor,
-                               interpret=config.interpret)
-                    if config.rows_per_block:
-                        kw2["rows_per_block"] = config.rows_per_block
-                    return myers_semiglobal.myers_semiglobal(eq, qcodes, **kw2)
+                kw2 = dict(read_len=s_len, factor=scheme.factor,
+                           is_global=not is_semi, interpret=config.interpret)
+                if config.rows_per_block:
+                    kw2["rows_per_block"] = config.rows_per_block
+                return myers_semiglobal.myers_semiglobal(eq, qcodes, **kw2)
+            if is_semi:
+                from .ops import myers_semiglobal
+
                 return myers_semiglobal.myers_semiglobal_xla(
                     eq, qcodes, read_len=s_len, factor=scheme.factor
                 )
-            from .ops import myers_pallas, myers_xla
+            from .ops import myers_xla
 
-            if self.backend == "pallas":
-                kw2 = dict(read_len=s_len, word_bits=word_bits,
-                           factor=scheme.factor, interpret=config.interpret)
-                if config.rows_per_block:
-                    kw2["rows_per_block"] = config.rows_per_block
-                return myers_pallas.myers_global(eq, qcodes, **kw2)
             return myers_xla.myers_global(
                 eq, qcodes, read_len=s_len, word_bits=word_bits, factor=scheme.factor
             )

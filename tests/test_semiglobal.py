@@ -45,3 +45,21 @@ def test_pallas_semiglobal(rng, n):
     eq = pack.pack_eq(s, 32)
     got = np.asarray(sg.myers_semiglobal(eq, q, read_len=n, interpret=True))
     np.testing.assert_array_equal(got, oracle(q, s, Mode.SEMI_GLOBAL))
+
+
+def test_fullword_global_pallas_matches_oracle(rng):
+    # The pipeline's TPU global path: full-word kernel with is_global=True,
+    # multi-word (subject longer than one 32-bit word).
+    import jax.numpy as jnp
+
+    from bgsa_tpu import oracle, pack
+    from bgsa_tpu.ops import myers_semiglobal as sg
+
+    q = rng.integers(0, 4, size=(3, 45)).astype(np.int32)
+    s = rng.integers(0, 4, size=(256, 70))
+    eq = pack.pack_eq(s, 32)
+    got = np.asarray(
+        sg.myers_semiglobal(eq, q, read_len=70, is_global=True, interpret=True)
+    )
+    want = np.stack([-oracle.edit_distances(qi, s) for qi in q])
+    np.testing.assert_array_equal(got, want)
