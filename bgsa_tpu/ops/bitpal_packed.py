@@ -62,15 +62,29 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
         not_matches = ~matches
 
         # Decode class indicators for v in [minv, midv]: value v is stored as
-        # two's complement of -(v - minv) across the planes.
+        # two's complement of -(v - minv) across the planes. Prefixes over
+        # the high planes are shared across patterns (memoized AND trie) —
+        # the naive per-class 5-term chains cost ~2x the ops.
+        prefix_cache: dict = {}
+
+        def chain(bits: tuple):
+            """Cumulative AND over planes nbits-1 .. nbits-len(bits); bits is
+            the pattern slice msb-first, so common high-plane prefixes are
+            computed once."""
+            if bits in prefix_cache:
+                return prefix_cache[bits]
+            plane = nbits - len(bits)
+            term = dhbit[plane] if bits[-1] else inv[plane]
+            if len(bits) > 1:
+                term = chain(bits[:-1]) & term
+            prefix_cache[bits] = term
+            return term
+
         dh = {}
         for v in range(minv, midv + 1):
             pattern = (-(v - minv)) & ((1 << nbits) - 1)
-            acc = None
-            for i in range(nbits):
-                term = dhbit[i] if (pattern >> i) & 1 else inv[i]
-                acc = term if acc is None else acc & term
-            dh[v] = acc
+            bits = tuple((pattern >> i) & 1 for i in reversed(range(nbits)))
+            dh[v] = chain(bits)
         dh[minv] = dh[minv] & CM
 
         # Phase A: horizontal-delta classes (midv, maxv], same propagation
@@ -279,7 +293,7 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_g
     ),
 )
 def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
-                  semi_global=False, rows_per_block: int = 8, unroll: int = 10,
+                  semi_global=False, rows_per_block: int = 8, unroll: int = 20,
                   interpret: bool = False):
     """Pallas TPU backend; S % 128 == 0 -> (Q, S) int32 scores."""
     p = BitpalParams(match, mismatch, gap)
