@@ -1,12 +1,12 @@
 """Full benchmark sweep: every kernel family on the current backend.
 
-Prints a markdown table (and optionally writes it). The headline driver
-metric stays in ../bench.py; this script is the engineering view.
+Prints a markdown table. The headline driver metric stays in ../bench.py;
+this script is the engineering view.
 
-Methodology: all variants of a workload are compiled first, then timed
-interleaved (one rep of each, repeated) and reported as medians — the
-remote-TPU service has ±10% run-to-run variance that sequential timing
-conflates with real differences.
+Methodology (see docs/PERF.md): all variants compile first, then are timed
+interleaved (one rep of each, repeated) and reported as medians. Each timed
+sample chains K kernel calls into one device-side scalar and fetches that —
+kernel-only time, no D2H billing, robust against the remote tunnel.
 
 Usage: python scripts/bench_all.py [--quick]
 """
@@ -18,24 +18,13 @@ import time
 import numpy as np
 
 
-def _bench_interleaved(fns: dict, reps: int):
-    for f in fns.values():
-        np.asarray(f())  # compile + warm
-    times = {k: [] for k in fns}
-    for _ in range(reps):
-        for k, f in fns.items():
-            t0 = time.perf_counter()
-            np.asarray(f())
-            times[k].append(time.perf_counter() - t0)
-    return {k: statistics.median(ts) for k, ts in times.items()}
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="smaller shapes, fewer reps")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from bgsa_tpu import pack
     from bgsa_tpu.ops import (banded, bitpal, bitpal_packed, myers_pallas,
@@ -43,13 +32,34 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     reps = 3 if args.quick else 6
+    K = 1 if args.quick or not on_tpu else 3
     rows = []
 
-    def add(name, fns, cells, unit="GCUPS", scale=1e9):
-        meds = _bench_interleaved(fns, reps)
-        for k, med in meds.items():
-            rows.append((f"{name} {k}".strip(), cells / med / scale, unit))
-            print(f"{name} {k}".strip().ljust(44), f"{cells / med / scale:10.1f} {unit}")
+    def sm(call):
+        def sample():
+            acc = jnp.int32(0)
+            for _ in range(K):
+                o = call()
+                acc = acc + o[0, 0] + o[-1, -1]
+            return np.asarray(acc)
+
+        return sample
+
+    def add(name, calls, cells, unit="GCUPS", scale=1e9):
+        fns = {k: sm(c) for k, c in calls.items()}
+        for f in fns.values():
+            f()  # compile + warm
+        times = {k: [] for k in fns}
+        for _ in range(reps):
+            for k, f in fns.items():
+                t0 = time.perf_counter()
+                f()
+                times[k].append((time.perf_counter() - t0) / K)
+        for k, ts in times.items():
+            label = f"{name} {k}".strip()
+            val = cells / statistics.median(ts) / scale
+            rows.append((label, val, unit))
+            print(f"{label:52s} {val:10.1f} {unit}")
 
     rng = np.random.default_rng(0)
 
@@ -61,28 +71,34 @@ def main():
     eq32 = jax.device_put(pack.pack_eq(subjects, 32))
     qd = jax.device_put(queries)
     cells = Q * m * S * n
-    kw = dict(read_len=n, factor=-1)
     bp = dict(match=2, mismatch=-3, gap=-5, read_len=n, factor=1)
 
-    myers = myers_pallas.myers_global if on_tpu else myers_xla.myers_global
-    add("myers global 500bp", {"": lambda: myers(eq, qd, **kw)}, cells)
     if on_tpu:
+        add("myers global 500bp", {
+            "full-word": lambda: myers_semiglobal.myers_semiglobal(
+                eq32, qd, read_len=n, factor=-1, is_global=True),
+            "31-bit": lambda: myers_pallas.myers_global(eq, qd, read_len=n, factor=-1),
+        }, cells)
         add("myers semi-global 500bp",
             {"": lambda: myers_semiglobal.myers_semiglobal(eq32, qd, read_len=n)}, cells)
         add("bitpal (2,-3,-5) 500bp", {
             "packed": lambda: bitpal_packed.bitpal_packed(eq, qd, **bp),
             "non-packed": lambda: bitpal.bitpal(eq, qd, **bp),
         }, cells)
+    else:
+        add("myers global (xla cpu)",
+            {"": lambda: myers_xla.myers_global(eq, qd, read_len=n, factor=-1)}, cells)
 
     # --- long subjects (multi-word carry chain) ---
     if on_tpu and not args.quick:
         Ql, ml, Sl, nl = 8, 1000, 8192, 3000
         q2 = rng.integers(0, 4, size=(Ql, ml)).astype(np.int32)
         s2 = rng.integers(0, 4, size=(Sl, nl))
-        eql = jax.device_put(pack.pack_eq(s2, 31))
+        eql = jax.device_put(pack.pack_eq(s2, 32))
         q2d = jax.device_put(q2)
         add("myers global 1000x3000bp",
-            {"": lambda: myers_pallas.myers_global(eql, q2d, read_len=nl, factor=-1)},
+            {"": lambda: myers_semiglobal.myers_semiglobal(
+                eql, q2d, read_len=nl, factor=-1, is_global=True)},
             Ql * ml * Sl * nl)
 
     # --- banded filter workload ---
