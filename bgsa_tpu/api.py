@@ -90,8 +90,6 @@ def align(
     scodes = encode_sequences(subjects, name="subjects")
     config = config or PipelineConfig()
 
-    scodes, real_count = _pad_lanes(scodes, config.v_num)
-
     if k is not None:
         from .banded_pipeline import BandedEngine
 
@@ -99,8 +97,6 @@ def align(
         engine = _ENGINES.get(key)
         if engine is None:
             engine = _ENGINES.setdefault(key, BandedEngine(k, config))
-        packed = engine.pack(scodes, qcodes.shape[1])
-        out = np.asarray(engine.scores(qcodes, packed))
     else:
         from .pipeline import Engine
         from .schemes import normalize
@@ -110,7 +106,11 @@ def align(
         engine = _ENGINES.get(key)
         if engine is None:
             engine = _ENGINES.setdefault(key, Engine(scheme, config))
-        out = np.asarray(engine.scores(qcodes, scodes))
+
+    # Lane padding must cover the local shard split too (each device's slice
+    # needs a multiple of 128 lanes).
+    scodes, real_count = _pad_lanes(scodes, config.v_num * engine.n_shards)
+    out = np.asarray(engine.scores(qcodes, scodes))
 
     out = out[:, :real_count]
     return out[0] if single else out

@@ -80,9 +80,16 @@ def align_main(argv=None) -> int:
             return 1
         shard = (host_id, n_hosts)
     if args.ratio_file:
+        if shard is None:
+            # Local shard_map splits evenly (homogeneous chips); ratios only
+            # steer the multi-host split. Failing loudly beats a silent no-op.
+            print("error: -R requires --host I:N (ratios steer the host split; "
+                  "local --shards devices are homogeneous and split evenly)",
+                  file=sys.stderr)
+            return 1
         from .parallel.multihost import read_ratio_file
 
-        ratios = read_ratio_file(args.ratio_file, shard[1] if shard else args.shards)
+        ratios = read_ratio_file(args.ratio_file, shard[1])
 
     try:
         if args.threshold is not None:
@@ -150,6 +157,13 @@ def merge_main(argv=None) -> int:
     n_hosts = metas[0].n_hosts
     if len(metas) != n_hosts or [m.host_id for m in metas] != list(range(n_hosts)):
         p.error(f"need exactly hosts 0..{n_hosts - 1}, got {[m.host_id for m in metas]}")
+    for m in metas[1:]:
+        if m.ref_count != metas[0].ref_count:
+            p.error(f"shard {m.host_id}: ref_count {m.ref_count} != {metas[0].ref_count} "
+                    "(shards from different runs?)")
+        if len(m.block_counts) != len(metas[0].block_counts):
+            p.error(f"shard {m.host_id}: {len(m.block_counts)} buckets != "
+                    f"{len(metas[0].block_counts)} (shards from different runs?)")
     merge_shards(
         args.output, shards, metas,
         write_dtype=np.int8 if args.banded else np.int16,

@@ -72,6 +72,21 @@ class DatabaseReader:
             self.seqs_per_bucket = per
             self.bucket_count = -(-self.total_count // per)
 
+    def bucket_counts(self) -> list[tuple[int, int]]:
+        """Deterministic (count_incl_pads, extra_count) per bucket — what
+        __iter__ will yield, derivable without reading the data (used by
+        shard-mode resume to reconstruct completed-bucket byte offsets)."""
+        out = []
+        remaining = self.total_count
+        for b in range(self.bucket_count):
+            take = min(self.seqs_per_bucket, remaining)
+            remaining -= take
+            extra = 0
+            if b == self.bucket_count - 1 and take % self.v_num:
+                extra = self.v_num - take % self.v_num
+            out.append((take + extra, extra))
+        return out
+
     def __iter__(self):
         remaining = self.total_count
         with open(self.path, "rb") as f:

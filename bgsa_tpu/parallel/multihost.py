@@ -75,6 +75,39 @@ class ShardMeta:
             return cls(**json.load(f))
 
 
+def shard_resume_point(result_path: str, bucket_counts, ref_count: int,
+                       itemsize: int, n_hosts: int, host_id: int,
+                       v_num: int, ratios=None) -> tuple[int, "ShardMeta"]:
+    """Completed-bucket count for a raw shard file (the --host role's
+    crash recovery). Bucket byte sizes are reconstructed deterministically
+    from the database geometry (bucket_counts) and the host split — no
+    sidecar needed; the file is truncated to the last complete bucket.
+
+    Returns (done_buckets, meta-with-done-buckets-recorded).
+    """
+    import os
+
+    meta = ShardMeta(host_id, n_hosts, ref_count, [], [])
+    if not os.path.exists(result_path):
+        return 0, meta
+    size = os.path.getsize(result_path)
+    off = 0
+    done = 0
+    for total, extra in bucket_counts:
+        count = host_slice(total, n_hosts, host_id, v_num, ratios)[1]
+        nbytes = count * ref_count * itemsize
+        if off + nbytes <= size:
+            off += nbytes
+            done += 1
+            meta.block_counts.append(count)
+            meta.extra_counts.append(extra if host_id == n_hosts - 1 else 0)
+        else:
+            break
+    with open(result_path, "r+b") as f:
+        f.truncate(off)
+    return done, meta
+
+
 def read_ratio_file(path: str, n: int) -> list[float]:
     """Reference ``-R`` file: n whitespace-separated positive floats
     (``original/BGSA_KNC/global.c:35-53``)."""

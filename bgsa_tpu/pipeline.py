@@ -221,6 +221,33 @@ def run_alignment(
     """
     scheme = normalize(scoring, mode)
     engine = Engine(scheme, config)
+    return run_bucketed(
+        engine, query_path, db_path, result_path, config,
+        shard=shard, shard_ratios=shard_ratios, resume=resume,
+        write_dtype=np.int16,
+    )
+
+
+def run_bucketed(
+    engine,
+    query_path: str,
+    db_path: str,
+    result_path: str,
+    config: PipelineConfig,
+    *,
+    shard: tuple[int, int] | None,
+    shard_ratios,
+    resume: bool,
+    write_dtype,
+):
+    """Shared bucketed driver for every kernel family (Myers/BitPAl/banded).
+
+    ``engine`` needs ``n_shards`` and ``scores(query_codes, subject_codes) ->
+    (Q, S) device array``. Handles bucketing, uniform-shape padding (single
+    compile per run), warm-up compile accounting, the reader prefetch thread,
+    lag-1 result draining, reference result/.info writing, host-role shard
+    files, and resume for both modes.
+    """
     stats = RunStats()
     t_start = time.perf_counter()
 
@@ -249,19 +276,31 @@ def run_alignment(
     meta = None
     done_buckets = 0
     if shard is not None:
-        from .parallel.multihost import ShardMeta, host_slice
+        from .parallel.multihost import ShardMeta, host_slice, shard_resume_point
 
         host_id, n_hosts = shard
-        writer_fp = open(result_path, "wb")
-        meta = ShardMeta(host_id, n_hosts, len(queries), [], [])
+        if resume:
+            done_buckets, meta = shard_resume_point(
+                result_path, db.bucket_counts(), len(queries),
+                np.dtype(write_dtype).itemsize, n_hosts, host_id, v_num,
+                shard_ratios,
+            )
+            stats.subject_count += sum(
+                c - e for c, e in zip(meta.block_counts, meta.extra_counts)
+            )
+        if meta is None:
+            meta = ShardMeta(host_id, n_hosts, len(queries), [], [])
+        writer_fp = open(result_path, "ab" if done_buckets else "wb")
         if pad_to:
             pad_to = host_slice(pad_to, n_hosts, host_id, v_num, shard_ratios)[1]
     else:
         if resume:
-            done_buckets = result_io.resume_point(result_path, len(queries))
+            done_buckets = result_io.resume_point(
+                result_path, len(queries), write_dtype=write_dtype
+            )
         writer = result_io.ResultWriter(
             result_path, ref_count=len(queries), block_num=db.bucket_count,
-            device_num=1, append=done_buckets > 0,
+            device_num=1, write_dtype=write_dtype, append=done_buckets > 0,
         )
 
     if pad_to:

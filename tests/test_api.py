@@ -53,3 +53,19 @@ def test_encode_validation():
         bgsa_tpu.align("AAAA", ["AA", "AAA"])
     with pytest.raises(ValueError, match="0..4"):
         encode_sequences(np.array([[9]]), name="x")
+
+
+def test_align_with_local_shards(rng):
+    """Embedding API pads to v_num x n_shards (regression: crashed whenever
+    local_shards > 1 because each device's slice lost lane alignment)."""
+    import jax
+
+    from bgsa_tpu.pipeline import PipelineConfig
+
+    if len(jax.devices()) < 2:
+        return
+    q = rng.integers(0, 4, size=(2, 25))
+    s = rng.integers(0, 4, size=(100, 30))
+    got = bgsa_tpu.align(q, s, config=PipelineConfig(backend="xla", local_shards=2))
+    want = np.stack([-oracle.edit_distances(qi, s) for qi in q])
+    np.testing.assert_array_equal(got, want)

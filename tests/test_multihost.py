@@ -147,3 +147,62 @@ def test_cli_host_roles_and_merge(tmp_path, rng):
     result_io.convert_result(single, conv_a)
     result_io.convert_result(merged, conv_b)
     assert open(conv_a).read() == open(conv_b).read()
+
+
+def test_shard_resume_after_interruption(tmp_path, rng):
+    """--host role resume: a truncated shard file continues where it left off
+    instead of being silently destroyed (regression)."""
+    Q, m, S, n = 4, 30, 1500, 40
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=256 * (n + 1))
+
+    full = str(tmp_path / "full.bin")
+    pl_mod.run_alignment(qp, sp, full, config=cfg, shard=(0, 2))
+    want = open(full, "rb").read()
+
+    # simulate a crash: keep 1.5 buckets' worth of bytes
+    db = seqfile.DatabaseReader(sp, cfg.bucket_size, cfg.v_num)
+    counts = db.bucket_counts()
+    first_count = multihost.host_slice(counts[0][0], 2, 0, cfg.v_num)[1]
+    keep = first_count * Q * 2 + 100  # bucket 0 complete + partial bucket 1
+    part = str(tmp_path / "part.bin")
+    open(part, "wb").write(want[:keep])
+
+    stats, meta = pl_mod.run_alignment(qp, sp, part, config=cfg, shard=(0, 2), resume=True)
+    assert open(part, "rb").read() == want
+    assert len(meta.block_counts) == len(counts)
+
+
+def test_cli_rejects_ratio_without_host(tmp_path, rng):
+    from bgsa_tpu import cli
+
+    q = rng.integers(0, 4, size=(2, 20))
+    s = rng.integers(0, 4, size=(200, 20))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    rfile = str(tmp_path / "r.txt")
+    open(rfile, "w").write("1 2\n")
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "o.bin"),
+                   "-R", rfile, "--quiet"])
+    assert rc == 1
+
+
+def test_merge_rejects_mismatched_shards(tmp_path):
+    import pytest
+
+    from bgsa_tpu import cli
+
+    a = multihost.ShardMeta(0, 2, 5, [128], [0])
+    b = multihost.ShardMeta(1, 2, 7, [128], [0])  # different ref_count
+    for name, meta in (("a.bin", a), ("b.bin", b)):
+        p = str(tmp_path / name)
+        open(p, "wb").write(b"\0" * 10)
+        meta.save(p + ".meta.json")
+    with pytest.raises(SystemExit):
+        cli.main(["merge", str(tmp_path / "a.bin"), str(tmp_path / "b.bin"),
+                  "-o", str(tmp_path / "m.bin")])
