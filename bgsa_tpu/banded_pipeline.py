@@ -53,16 +53,20 @@ class BandedEngine:
         @jax.jit
         def step(qcodes, snib):
             scodes = pack.nibble_unpack_jax(snib, s_len)
-            init_lo, init_hi, inj = pack.pack_banded_jax(scodes, k, q_len)
+            kw = dict(q_len=q_len, s_len=s_len, k=k)
             if self.backend == "pallas":
-                kw = dict(q_len=q_len, s_len=s_len, k=k, interpret=config.interpret)
+                kw["interpret"] = config.interpret
                 if config.rows_per_block:
                     kw["rows_per_block"] = config.rows_per_block
-                s = banded_ops.banded(init_lo, init_hi, inj, qcodes, **kw)
+                if s_len >= q_len:  # fast path: funnel-shift Eq stream
+                    stream = pack.pack_banded_stream_jax(scodes, k, q_len)
+                    s = banded_ops.banded_stream(stream, qcodes, **kw)
+                else:  # shorter subjects: Peq-carry kernel
+                    args = pack.pack_banded_jax(scodes, k, q_len)
+                    s = banded_ops.banded(*args, qcodes, **kw)
             else:
-                s = banded_ops.banded_xla(
-                    init_lo, init_hi, inj, qcodes, q_len=q_len, s_len=s_len, k=k
-                )
+                args = pack.pack_banded_jax(scodes, k, q_len)
+                s = banded_ops.banded_xla(*args, qcodes, **kw)
             return s.astype(jnp.int8)
 
         return step

@@ -210,6 +210,145 @@ def _kernel(q_ref, chk_ref, init_lo_ref, init_hi_ref, inj_ref, out_ref, *,
     out_ref[0] = _epilogue(state, h=h)
 
 
+def _stream_column(t, state, c, stream_ref, *, k, m, band_down, max_err, chk):
+    """One query column, Eq window loaded from the packed bit-stream ref
+    (see pack.pack_banded_stream_jax) with a funnel shift — replaces the
+    loop-carried Peq planes (their per-column shift + inject + 5-way select
+    chain was ~60% of the column's vector ops).
+
+    Window bits above band_down are masked off: in the stream view they hold
+    *future* injections, which the reference's register (inject-at-band_down,
+    then shift right) cannot contain yet. Requires s_len >= q_len (h >= k) so
+    the preload also never exceeds the band — banded_stream enforces it.
+    """
+    vplo, vphi, vnlo, vnhi, err, dead = state
+    one = jnp.uint32(1)
+
+    w = t // 32
+    b = (t % 32).astype(jnp.uint32)
+    b0 = stream_ref[c, w]
+    b1 = stream_ref[c, w + 1]
+    # (x << (32 - b)) written as two static-bounded shifts so b == 0 yields 0.
+    eq_lo = (b0 >> b) | ((b1 << (jnp.uint32(31) - b)) << 1)
+    if band_down < 32:
+        eq_lo = eq_lo & jnp.uint32((1 << (band_down + 1)) - 1)
+        eq_hi = jnp.zeros_like(eq_lo)
+    else:
+        b2 = stream_ref[c, w + 2]
+        eq_hi = (b1 >> b) | ((b2 << (jnp.uint32(31) - b)) << 1)
+        if band_down < 63:
+            eq_hi = eq_hi & jnp.uint32((1 << (band_down - 31)) - 1)
+
+    xlo, xhi = eq_lo | vnlo, eq_hi | vnhi
+    tlo, thi = xlo & vplo, xhi & vphi
+    slo, shi = _add64(tlo, thi, vplo, vphi)
+    d0lo = (slo ^ vplo) | xlo
+    d0hi = (shi ^ vphi) | xhi
+    hnlo, hnhi = d0lo & vplo, d0hi & vphi
+    hplo, hphi = ~(d0lo | vplo) | vnlo, ~(d0hi | vphi) | vnhi
+    xslo, xshi = _shr1(d0lo, d0hi)
+    vnlo, vnhi = xslo & hplo, xshi & hphi
+    vplo, vphi = ~(hplo | xslo) | hnlo, ~(hphi | xshi) | hnhi
+
+    scored = (t >= k).astype(jnp.int32)
+    err = err + scored * (jnp.int32(1) - (d0lo & one).astype(jnp.int32))
+    dead = dead | (chk & (err > jnp.int32(max_err)).astype(jnp.int32))
+    return vplo, vphi, vnlo, vnhi, err, dead
+
+
+def _stream_kernel(q_ref, chk_ref, stream_ref, out_ref, *, q_len, s_len, k, unroll):
+    h, band_down, max_err = _geometry(q_len, s_len, k)
+    R, L = stream_ref.shape[2], stream_ref.shape[3]
+    tile = (R, L)
+
+    def column(t, state):
+        return _stream_column(
+            t, state, q_ref[0, 0, t], stream_ref, k=k, m=q_len,
+            band_down=band_down, max_err=max_err, chk=chk_ref[0, 0, t],
+        )
+
+    zeros = jnp.zeros(tile, jnp.uint32)
+    state = (zeros, zeros, zeros, zeros,
+             jnp.full(tile, k, jnp.int32), jnp.zeros(tile, jnp.int32))
+
+    # Whole-block early exit over unrolled batches (see _kernel).
+    BATCH_COLS = 32
+    n_batches = q_len // BATCH_COLS
+
+    def batch_cond(carry):
+        i, state = carry
+        return jnp.logical_and(i < n_batches, jnp.logical_not(jnp.all(state[5] > 0)))
+
+    def batch_body(carry):
+        i, state = carry
+        base = i * BATCH_COLS
+
+        def inner(j, st):
+            for u in range(unroll):
+                st = column(base + j * unroll + u, st)
+            return st
+
+        state = lax.fori_loop(0, BATCH_COLS // unroll, inner, state)
+        return i + 1, state
+
+    _, state = lax.while_loop(batch_cond, batch_body, (jnp.int32(0), state))
+    state = lax.fori_loop(n_batches * BATCH_COLS, q_len, column, state)
+    # _epilogue expects the 8-tuple layout; prepend dummy plane slots.
+    out_ref[0] = _epilogue((None, None) + state, h=h)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_len", "s_len", "k", "rows_per_block", "unroll", "interpret")
+)
+def banded_stream(stream, queries, *, q_len: int, s_len: int, k: int,
+                  rows_per_block: int = 32, unroll: int = 4,
+                  interpret: bool = False):
+    """Pallas TPU backend on the flat Eq bit-stream (the fast path).
+
+    stream: (5, W, S) uint32 from pack.pack_banded_stream_jax; S % 128 == 0.
+    Returns (Q, S) int32 scores (127 = early exit). Output is bit-identical
+    to banded()/banded_xla().
+    """
+    C, W, S = stream.shape
+    Q, m = queries.shape
+    h, _, _ = _geometry(q_len, s_len, k)  # validate band
+    if h < k:
+        raise ValueError(
+            "banded_stream requires s_len >= q_len (the preload would exceed "
+            "the band); use banded()/banded_xla() for shorter subjects"
+        )
+    if S % LANES:
+        raise ValueError(f"subject count {S} must be a multiple of {LANES}")
+    rows = S // LANES
+    r, rows_p = blockutil.choose_rows(rows, rows_per_block)
+    nb = rows_p // r
+
+    chk = np.zeros((1, 1, m), np.int32)
+    chk[0, 0] = _chk_array(q_len, s_len, k)
+    stream4 = blockutil.pad_rows(stream.reshape(C, W, rows, LANES), 2, rows_p)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _stream_kernel, q_len=q_len, s_len=s_len, k=k,
+            unroll=1 if interpret else max(1, min(unroll, 32)),
+        ),
+        grid=(nb, Q),
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda b, q: (q, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m), lambda b, q: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, W, r, LANES), lambda b, q: (0, 0, b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Q, rows_p, LANES), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * Q * m * S, bytes_accessed=stream.size * 4 + Q * S * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(queries, jnp.int32)[:, None, :], jnp.asarray(chk), stream4)
+    return out[:, :rows].reshape(Q, S)
+
+
 @functools.partial(
     jax.jit, static_argnames=("q_len", "s_len", "k", "rows_per_block", "interpret")
 )

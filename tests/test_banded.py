@@ -56,3 +56,64 @@ def test_band_too_wide_raises(rng):
     lo, hi, inj = pack.pack_banded(s, 32, 100)
     with pytest.raises(ValueError, match="band"):
         banded_ops.banded_xla(lo, hi, inj, q, q_len=100, s_len=100, k=32)
+
+
+class TestBandedStream:
+    """banded_stream (funnel-shift Eq window) vs the behavioral reference."""
+
+    def _check(self, rng, Q, m, S, n, k):
+        from bgsa_tpu import pack
+        from bgsa_tpu.banded_ref import banded_scores
+        from bgsa_tpu.ops import banded as b
+
+        q = rng.integers(0, 4, size=(Q, m)).astype(np.int32)
+        s = rng.integers(0, 4, size=(S, n))
+        s[: S // 3, : min(m, n)] = q[0][: min(m, n)]  # some near-hits
+        stream = np.asarray(pack.pack_banded_stream_jax(s, k, m))
+        got = np.asarray(
+            b.banded_stream(stream, q, q_len=m, s_len=n, k=k, interpret=True)
+        )
+        want = np.stack([banded_scores(qi, s, k) for qi in q])
+        np.testing.assert_array_equal(got, want)
+
+    def test_equal_lengths(self, rng):
+        self._check(rng, 2, 64, 256, 64, 6)
+
+    def test_subject_longer(self, rng):
+        self._check(rng, 2, 64, 256, 80, 8)  # h > k: split streams
+
+    def test_subject_shorter_rejected(self, rng):
+        # h < k: the preload exceeds the band; the stream view can't
+        # represent it (the engine falls back to banded() there).
+        import pytest
+
+        from bgsa_tpu import pack
+        from bgsa_tpu.ops import banded as b
+
+        s = rng.integers(0, 4, size=(128, 64))
+        stream = pack.pack_banded_stream_jax(s, 8, 70)
+        with pytest.raises(ValueError, match="s_len >= q_len"):
+            b.banded_stream(np.asarray(stream), np.zeros((1, 70), np.int32),
+                            q_len=70, s_len=64, k=8, interpret=True)
+
+    def test_engine_fallback_subject_shorter(self, rng, tmp_path):
+        # pipeline-level: shorter subjects route to the Peq-carry kernel
+        from bgsa_tpu.banded_pipeline import BandedEngine
+        from bgsa_tpu.banded_ref import banded_scores
+        from bgsa_tpu.pipeline import PipelineConfig
+
+        q = rng.integers(0, 4, size=(2, 70)).astype(np.int32)
+        s = rng.integers(0, 4, size=(128, 64))
+        eng = BandedEngine(8, PipelineConfig(backend="pallas", interpret=True))
+        got = np.asarray(eng.scores(q, s.astype(np.uint8)))
+        want = np.stack([banded_scores(qi, s, 8) for qi in q])
+        np.testing.assert_array_equal(got, want)
+
+    def test_band_at_64_limit(self, rng):
+        # band_length = k + h + 1 = 64 exactly
+        m = n = 100
+        k = 31  # h = 31, band = 63+1
+        self._check(rng, 2, m, 256, n, k)
+
+    def test_tiny_threshold(self, rng):
+        self._check(rng, 2, 150, 256, 150, 1)
