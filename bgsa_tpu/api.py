@@ -85,7 +85,9 @@ def align(
     """
     from .pipeline import PipelineConfig
 
-    single = isinstance(queries, (str, bytes))
+    single = isinstance(queries, (str, bytes)) or (
+        isinstance(queries, np.ndarray) and queries.ndim == 1
+    )
     qcodes = encode_sequences(queries, name="queries")
     scodes = encode_sequences(subjects, name="subjects")
     config = config or PipelineConfig()

@@ -57,6 +57,17 @@ class DatabaseReader:
         self.length = detect_line_length(path)
         self.stride = self.length + 1
         self.total_size = os.path.getsize(path)
+        if self.length == 0:
+            raise ValueError(f"{path}: empty or starts with a blank line")
+        # Fixed-length lines are a format requirement (the reference silently
+        # corrupts on ragged input; we refuse). Tolerate one missing trailing
+        # newline.
+        rem = self.total_size % self.stride
+        if rem not in (0, self.length):
+            raise ValueError(
+                f"{path}: not fixed-length lines of {self.length} bp "
+                f"(size {self.total_size} % {self.stride} == {rem})"
+            )
         # Total sequence count; tolerate a missing trailing newline.
         self.total_count = (self.total_size + self.length) // self.stride
         if bucket_size >= self.total_size:
@@ -110,6 +121,10 @@ def read_queries(path: str) -> np.ndarray:
     length = detect_line_length(path)
     stride = length + 1
     size = os.path.getsize(path)
+    if length == 0:
+        raise ValueError(f"{path}: empty or starts with a blank line")
+    if size % stride not in (0, length):
+        raise ValueError(f"{path}: not fixed-length lines of {length} bp")
     with open(path, "rb") as f:
         raw = f.read()
     if raw and not raw.endswith(b"\n"):
