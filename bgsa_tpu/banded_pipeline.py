@@ -44,15 +44,18 @@ class BandedEngine:
         self.backend = backend
         self._step = functools.lru_cache(maxsize=None)(self._build_step)
 
-    def _build_step(self, q_len: int, s_len: int):
+    def _build_step(self, q_len: int, s_len: int, transport: str = "nib"):
         jax, config, k = self._jax, self.config, self.k
         import jax.numpy as jnp
 
         from .ops import banded as banded_ops
 
+        unpack = (pack.two_bit_unpack_jax if transport == "2bit"
+                  else pack.nibble_unpack_jax)
+
         @jax.jit
-        def step(qcodes, snib):
-            scodes = pack.nibble_unpack_jax(snib, s_len)
+        def step(qcodes, packed):
+            scodes = unpack(packed, s_len)
             kw = dict(q_len=q_len, s_len=s_len, k=k)
             if self.backend == "pallas":
                 kw["interpret"] = config.interpret
@@ -73,8 +76,10 @@ class BandedEngine:
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int8 error counts."""
-        step = self._step(query_codes.shape[1], subject_codes.shape[1])
-        return step(query_codes.astype(np.int32), pack.nibble_pack(subject_codes))
+        transport = "2bit" if subject_codes.max(initial=0) < 4 else "nib"
+        packer = pack.two_bit_pack if transport == "2bit" else pack.nibble_pack
+        step = self._step(query_codes.shape[1], subject_codes.shape[1], transport)
+        return step(query_codes.astype(np.int32), packer(subject_codes))
 
 
 def run_banded(

@@ -117,6 +117,32 @@ def nibble_pack(codes: np.ndarray) -> np.ndarray:
     return codes[:, 0::2] | (codes[:, 1::2] << 4)
 
 
+def two_bit_pack(codes: np.ndarray) -> np.ndarray:
+    """Host-side transport packing for N-free data: four codes (0..3)/byte.
+
+    16x smaller than int32 codes; the pipeline uses it whenever a bucket
+    contains no 'N' (codes > 3 would be corrupted — callers must check).
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    S, n = codes.shape
+    pad = (-n) % 4
+    if pad:
+        codes = np.concatenate([codes, np.zeros((S, pad), np.uint8)], axis=1)
+    c = codes.reshape(S, -1, 4)
+    return c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6)
+
+
+def two_bit_unpack_jax(packed, length: int):
+    """Device-side inverse of two_bit_pack: (S, ceil(n/4)) uint8 -> (S, n)."""
+    import jax.numpy as jnp
+
+    p = jnp.asarray(packed, jnp.uint8)
+    three = jnp.uint8(3)
+    parts = [(p >> (2 * i)) & three for i in range(4)]
+    out = jnp.stack(parts, axis=-1).reshape(p.shape[0], -1)
+    return out[:, :length].astype(jnp.int32)
+
+
 def nibble_unpack_jax(nib, length: int):
     """Device-side inverse of nibble_pack: (S, ceil(n/2)) uint8 -> (S, n) int32."""
     import jax.numpy as jnp

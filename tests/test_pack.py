@@ -59,3 +59,14 @@ def test_pack_banded_jax_matches_numpy(rng):
         np.testing.assert_array_equal(jlo, lo)
         np.testing.assert_array_equal(jhi, hi)
         np.testing.assert_array_equal(jinj, inj)
+
+
+def test_two_bit_roundtrip(rng):
+    from bgsa_tpu import pack
+
+    for n in (7, 8, 150):
+        codes = rng.integers(0, 4, size=(9, n)).astype(np.uint8)
+        packed = pack.two_bit_pack(codes)
+        assert packed.shape == (9, (n + 3) // 4)
+        back = np.asarray(pack.two_bit_unpack_jax(packed, n))
+        np.testing.assert_array_equal(back, codes)
