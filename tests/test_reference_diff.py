@@ -1,0 +1,130 @@
+"""Randomized byte-level differential testing against the compiled reference.
+
+Runs the actual reference binaries (built per .claude/skills/verify/SKILL.md
+into /tmp/ref-build) on random datasets and byte-compares complete runs —
+result file, .info manifest, and converted text. Skipped when the binaries
+are absent (CI without gcc); the golden fixtures in tests/golden cover the
+committed cases regardless.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from bgsa_tpu import cli
+from bgsa_tpu.io import seqfile
+
+ORIG = "/tmp/ref-build/orig_cpu"
+BANDED = "/tmp/ref-build/banded_cpu"
+AVX2 = "/tmp/ref-build/avx2"
+
+
+def _have(path):
+    return os.path.exists(os.path.join(path, "aligner"))
+
+
+def _write(path, rng, count, length):
+    seqfile.write_seq_file(str(path), rng.integers(0, 4, size=(count, length)))
+
+
+def _run_ref(build, tmp, qp, sp, extra=()):
+    res = str(tmp / "ref.bin")
+    conv = str(tmp / "ref.txt")
+    subprocess.run([f"{build}/aligner", "-q", qp, "-d", sp, "-f", res, "-N", "1",
+                    *extra], check=True, capture_output=True, cwd=str(tmp))
+    subprocess.run([f"{build}/convert", "-r", res, "-o", conv],
+                   check=True, capture_output=True, cwd=str(tmp))
+    return res, conv
+
+
+def _run_ours(tmp, qp, sp, extra=(), banded=False):
+    res = str(tmp / "our.bin")
+    conv = str(tmp / "our.txt")
+    assert cli.main(["align", "-q", qp, "-d", sp, "-f", res, "--quiet",
+                     "--backend", "xla", *extra]) == 0
+    conv_args = ["convert", "-r", res, "-o", conv]
+    if banded:
+        conv_args.append("--banded")
+    assert cli.main(conv_args) == 0
+    return res, conv
+
+
+def _compare(ref, ours, bytes_exact=False):
+    """Converted text must always match; raw bytes additionally match when
+    the subject count is a lane multiple (the scalar reference pads buckets
+    to V_NUM=1, we pad to 128 — pad scores differ, converted output does
+    not; its own convert reads our files either way)."""
+    res_r, conv_r = ref
+    res_o, conv_o = ours
+    assert open(conv_o).read() == open(conv_r).read()
+    if bytes_exact:
+        assert open(res_o, "rb").read() == open(res_r, "rb").read()
+        assert open(res_o + ".info", "rb").read() == open(res_r + ".info", "rb").read()
+
+
+@pytest.mark.skipif(not _have(ORIG), reason="reference binaries not built")
+@pytest.mark.parametrize("seed", range(3))
+def test_diff_myers_vs_reference(tmp_path, seed):
+    rng = np.random.default_rng(seed + 5000)
+    Q = int(rng.integers(1, 6))
+    S = int(rng.integers(1, 700))
+    if seed == 0:
+        S = 384  # lane multiple: raw result/.info bytes must match too
+    m = int(rng.integers(10, 300))
+    n = int(rng.integers(10, 300))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    _write(qp, rng, Q, m)
+    _write(sp, rng, S, n)
+    _compare(_run_ref(ORIG, tmp_path, qp, sp), _run_ours(tmp_path, qp, sp),
+             bytes_exact=(S % 128 == 0))
+
+
+@pytest.mark.skipif(not _have(BANDED), reason="reference binaries not built")
+@pytest.mark.parametrize("seed,k", [(0, 4), (1, 8), (2, 12)])
+def test_diff_banded_vs_reference(tmp_path, seed, k):
+    rng = np.random.default_rng(seed + 6000)
+    Q = int(rng.integers(1, 4))
+    S = int(rng.integers(1, 700))
+    # Stay in the reference's well-defined region: qlen >= 64 + k,
+    # qlen <= slen, band_length = 2k + (slen - qlen) + 1 <= 64, and the
+    # packer word-capacity bound ceil(slen/64) <= ceil((qlen-k)/64) — its
+    # word_num is ceil((read_len-h)/64)+1 (cal_cpu.c:254) while the packer
+    # writes ceil(slen/64) injection words, overrunning into the next
+    # character plane's preload otherwise (PARITY.md divergence #1; the
+    # intended 150bp/500bp workloads satisfy the bound).
+    while True:
+        m = int(rng.integers(64 + k, 250))
+        cap = 64 * ((m - k + 63) // 64)
+        if cap >= m:
+            break
+    n = int(rng.integers(m, min(m + 64 - 2 * k, cap + 1)))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    _write(qp, rng, Q, m)
+    q = seqfile.read_queries(qp)
+    s = rng.integers(0, 4, size=(S, n))
+    s[: max(S // 4, 1), :m] = q[0]  # near-hits so not everything early-exits
+    seqfile.write_seq_file(sp, s)
+    _compare(
+        _run_ref(BANDED, tmp_path, qp, sp, extra=["-k", str(k)]),
+        _run_ours(tmp_path, qp, sp, extra=["-k", str(k)], banded=True),
+    )
+
+
+@pytest.mark.skipif(not _have(AVX2), reason="reference binaries not built")
+@pytest.mark.parametrize("seed", range(2))
+def test_diff_bitpal_vs_reference(tmp_path, seed):
+    # the AVX2 port's committed kernel is BitPAl (2,-3,-5)
+    rng = np.random.default_rng(seed + 7000)
+    Q = int(rng.integers(1, 4))
+    S = int(rng.integers(1, 600))
+    m = int(rng.integers(10, 200))
+    n = int(rng.integers(10, 200))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    _write(qp, rng, Q, m)
+    _write(sp, rng, S, n)
+    _compare(
+        _run_ref(AVX2, tmp_path, qp, sp),
+        _run_ours(tmp_path, qp, sp, extra=["-M", "2", "-I", "-3", "-G", "-5"]),
+    )
