@@ -34,9 +34,11 @@ from .stats import RunStats
 def _enable_compilation_cache(jax) -> None:
     """Persist compiled kernels across processes (compile dominates small runs).
 
-    Opt-in via BGSA_COMPILE_CACHE=1: on remote-compile TPU setups the
-    persistent cache can serialize against the compile service and slow runs
-    down instead of speeding them up (measured 21s -> 4m46s on axon).
+    Opt-in via BGSA_COMPILE_CACHE=1: on remote-compile TPU setups the service
+    keeps its own server-side cache, so the local one only shaves a little
+    off repeat runs (measured 4.5s -> 3.2s) while the first run pays a heavy
+    cache-write cost (one episode measured 21s -> 4m46s); on normal TPU VMs
+    it is a clear win for repeated production runs.
     """
     import os
 
