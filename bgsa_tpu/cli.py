@@ -47,6 +47,8 @@ def align_main(argv=None) -> int:
                    help="device/host ratio file (reference -R: one positive "
                         "float per host, whitespace-separated)")
     p.add_argument("--bucket-size", type=int, default=None, help="database bucket bytes")
+    p.add_argument("--stats-json", default=None, metavar="PATH",
+                   help="also write run statistics as JSON")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -110,6 +112,9 @@ def align_main(argv=None) -> int:
     if shard is not None:
         stats, meta = stats
         meta.save(args.result + ".meta.json")
+    if args.stats_json:
+        with open(args.stats_json, "w") as f:
+            f.write(stats.to_json() + "\n")
     if not args.quiet:
         print(f"score is {scoring.match}, {scoring.mismatch}, {scoring.gap}")
         print(stats.report())

@@ -349,10 +349,14 @@ def run_bucketed(
             if ev[0] == "bucket":
                 writer.start_bucket(*ev[1:])
                 continue
-            _, dev, real = ev
+            _, dev, real, bidx = ev
             t = time.perf_counter()
             host_scores = np.asarray(dev)[:, :real]
-            stats.cal_time += time.perf_counter() - t
+            dt = time.perf_counter() - t
+            stats.cal_time += dt
+            while len(stats.bucket_cal_times) <= bidx:
+                stats.bucket_cal_times.append(0.0)
+            stats.bucket_cal_times[bidx] += dt
             t = time.perf_counter()
             if shard is not None:
                 writer_fp.write(host_scores.tobytes())
@@ -393,7 +397,7 @@ def run_bucketed(
             t_cal = time.perf_counter()
             dev_scores = engine.scores(qb, codes)  # async dispatch
             stats.cal_time += time.perf_counter() - t_cal
-            events.append(("scores", dev_scores, real))
+            events.append(("scores", dev_scores, real, bucket_index))
             n_pending += 1
             drain(1)
 

@@ -23,6 +23,10 @@ class RunStats:
     write_time: float = 0.0
     compile_time: float = 0.0  # XLA compile (no reference analogue)
     total_time: float = 0.0
+    # Per-bucket kernel+fetch seconds (the reference's use_times matrix,
+    # cal_all.c:318-321 — the input to its dynamic load balancer; feed these
+    # to parallel.multihost.DynamicBalancer for heterogeneous deployments).
+    bucket_cal_times: list = dataclasses.field(default_factory=list)
 
     @property
     def cells(self) -> int:
@@ -30,6 +34,14 @@ class RunStats:
 
     def gcups(self, seconds: float) -> float:
         return self.cells / seconds / 1e9 if seconds > 0 else float("inf")
+
+    def to_json(self) -> str:
+        import json
+
+        d = dataclasses.asdict(self)
+        d["cal_gcups"] = self.gcups(self.cal_time)
+        d["total_gcups"] = self.gcups(self.total_time)
+        return json.dumps(d)
 
     def report(self) -> str:
         lines = [
