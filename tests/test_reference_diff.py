@@ -19,6 +19,7 @@ from bgsa_tpu.io import seqfile
 ORIG = "/tmp/ref-build/orig_cpu"
 BANDED = "/tmp/ref-build/banded_cpu"
 AVX2 = "/tmp/ref-build/avx2"
+AVX512 = "/tmp/ref-build/avx512"
 
 
 def _have(path):
@@ -112,10 +113,13 @@ def test_diff_banded_vs_reference(tmp_path, seed, k):
     )
 
 
-@pytest.mark.skipif(not _have(AVX2), reason="reference binaries not built")
+@pytest.mark.parametrize("build", [AVX2, AVX512])
 @pytest.mark.parametrize("seed", range(2))
-def test_diff_bitpal_vs_reference(tmp_path, seed):
-    # the AVX2 port's committed kernel is BitPAl (2,-3,-5)
+def test_diff_bitpal_vs_reference(tmp_path, seed, build):
+    # the AVX2/AVX512 ports' committed kernels are BitPAl (2,-3,-5) —
+    # two independent reference implementations of the same math
+    if not _have(build):
+        pytest.skip("reference binaries not built")
     rng = np.random.default_rng(seed + 7000)
     Q = int(rng.integers(1, 4))
     S = int(rng.integers(1, 600))
@@ -125,6 +129,6 @@ def test_diff_bitpal_vs_reference(tmp_path, seed):
     _write(qp, rng, Q, m)
     _write(sp, rng, S, n)
     _compare(
-        _run_ref(AVX2, tmp_path, qp, sp),
+        _run_ref(build, tmp_path, qp, sp),
         _run_ours(tmp_path, qp, sp, extra=["-M", "2", "-I", "-3", "-G", "-5"]),
     )
