@@ -86,7 +86,9 @@ def align(
     from .pipeline import PipelineConfig
 
     single = isinstance(queries, (str, bytes)) or (
-        isinstance(queries, np.ndarray) and queries.ndim == 1
+        isinstance(queries, np.ndarray)
+        and queries.ndim == 1
+        and queries.dtype.kind in "iu"  # a 1-D array of strings is multi-query
     )
     qcodes = encode_sequences(queries, name="queries")
     scodes = encode_sequences(subjects, name="subjects")

@@ -50,8 +50,7 @@ class BandedEngine:
 
         from .ops import banded as banded_ops
 
-        unpack = (pack.two_bit_unpack_jax if transport == "2bit"
-                  else pack.nibble_unpack_jax)
+        unpack = pack.transport_unpack_jax(transport)
 
         @jax.jit
         def step(qcodes, packed):
@@ -76,10 +75,9 @@ class BandedEngine:
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int8 error counts."""
-        transport = "2bit" if subject_codes.max(initial=0) < 4 else "nib"
-        packer = pack.two_bit_pack if transport == "2bit" else pack.nibble_pack
+        transport, packed = pack.select_transport(subject_codes)
         step = self._step(query_codes.shape[1], subject_codes.shape[1], transport)
-        return step(query_codes.astype(np.int32), packer(subject_codes))
+        return step(query_codes.astype(np.int32), packed)
 
 
 def run_banded(

@@ -120,15 +120,14 @@ def read_queries(path: str) -> np.ndarray:
     """Load the whole query file as (Q, m) symbol codes (file.c:117-140)."""
     length = detect_line_length(path)
     stride = length + 1
-    size = os.path.getsize(path)
     if length == 0:
         raise ValueError(f"{path}: empty or starts with a blank line")
-    if size % stride not in (0, length):
-        raise ValueError(f"{path}: not fixed-length lines of {length} bp")
     with open(path, "rb") as f:
         raw = f.read()
-    if raw and not raw.endswith(b"\n"):
-        raw += b"\n"
+    # Tolerate editor-appended blank lines / a missing final newline.
+    raw = raw.rstrip(b"\n") + b"\n"
+    if len(raw) % stride:
+        raise ValueError(f"{path}: not fixed-length lines of {length} bp")
     count = len(raw) // stride
     arr = np.frombuffer(raw[: count * stride], np.uint8).reshape(count, stride)[:, :length]
     return pack.encode_ascii(arr)

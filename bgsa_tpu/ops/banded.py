@@ -330,7 +330,10 @@ def banded_stream(stream, queries, *, q_len: int, s_len: int, k: int,
     out = pl.pallas_call(
         functools.partial(
             _stream_kernel, q_len=q_len, s_len=s_len, k=k,
-            unroll=1 if interpret else max(1, min(unroll, 32)),
+            # batch body covers 32 columns; a non-divisor unroll would skip
+            # the batch tail, so round down to a divisor {1,2,4,8,16,32}
+            unroll=1 if interpret else max(u for u in (1, 2, 4, 8, 16, 32)
+                                           if u <= max(1, min(unroll, 32))),
         ),
         grid=(nb, Q),
         in_specs=[

@@ -143,6 +143,20 @@ def two_bit_unpack_jax(packed, length: int):
     return out[:, :length].astype(jnp.int32)
 
 
+def select_transport(codes: np.ndarray) -> tuple[str, np.ndarray]:
+    """Pick the host->device subject encoding for a batch: 4 codes/byte when
+    it is N-free, 2 codes/byte otherwise. Returns (name, packed); pair with
+    transport_unpack_jax(name) on the device side."""
+    if codes.max(initial=0) < 4:
+        return "2bit", two_bit_pack(codes)
+    return "nib", nibble_pack(codes)
+
+
+def transport_unpack_jax(name: str):
+    """Device-side unpacker matching select_transport's name."""
+    return two_bit_unpack_jax if name == "2bit" else nibble_unpack_jax
+
+
 def nibble_unpack_jax(nib, length: int):
     """Device-side inverse of nibble_pack: (S, ceil(n/2)) uint8 -> (S, n) int32."""
     import jax.numpy as jnp

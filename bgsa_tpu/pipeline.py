@@ -168,8 +168,7 @@ class Engine:
                 eq, qcodes, read_len=s_len, word_bits=word_bits, factor=scheme.factor
             )
 
-        unpack = (pack.two_bit_unpack_jax if transport == "2bit"
-                  else pack.nibble_unpack_jax)
+        unpack = pack.transport_unpack_jax(transport)
 
         def step_local(qcodes, packed):
             scodes = unpack(packed, s_len)
@@ -200,10 +199,9 @@ class Engine:
         codes/byte otherwise — and are unpacked + Eq-packed on device inside
         the jitted step (the upload is the production bottleneck).
         """
-        transport = "2bit" if subject_codes.max(initial=0) < 4 else "nib"
-        packer = pack.two_bit_pack if transport == "2bit" else pack.nibble_pack
+        transport, packed = pack.select_transport(subject_codes)
         step = self._step(query_codes.shape[1], subject_codes.shape[1], transport)
-        return step(query_codes.astype(np.int32), packer(subject_codes))
+        return step(query_codes.astype(np.int32), packed)
 
 
 def run_alignment(

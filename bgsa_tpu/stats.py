@@ -39,9 +39,11 @@ class RunStats:
         import json
 
         d = dataclasses.asdict(self)
-        d["cal_gcups"] = self.gcups(self.cal_time)
-        d["total_gcups"] = self.gcups(self.total_time)
-        return json.dumps(d)
+        d["cal_gcups"] = self.gcups(self.cal_time) if self.cal_time > 0 else None
+        d["total_gcups"] = (
+            self.gcups(self.total_time) if self.total_time > 0 else None
+        )
+        return json.dumps(d, allow_nan=False)
 
     def report(self) -> str:
         lines = [

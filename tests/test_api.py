@@ -69,3 +69,11 @@ def test_align_with_local_shards(rng):
     got = bgsa_tpu.align(q, s, config=PipelineConfig(backend="xla", local_shards=2))
     want = np.stack([-oracle.edit_distances(qi, s) for qi in q])
     np.testing.assert_array_equal(got, want)
+
+
+def test_string_array_queries_are_multi():
+    # regression: a 1-D numpy array of strings must not be treated as one query
+    got = bgsa_tpu.align(np.array(["AAAA", "CCCC"]), ["AAAA", "CCCC", "GGGG"])
+    assert got.shape == (2, 3)
+    assert got[0].tolist() == [0, -4, -4]
+    assert got[1].tolist() == [-4, 0, -4]

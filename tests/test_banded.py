@@ -110,10 +110,14 @@ class TestBandedStream:
         np.testing.assert_array_equal(got, want)
 
     def test_band_at_64_limit(self, rng):
-        # band_length = k + h + 1 = 64 exactly
-        m = n = 100
-        k = 31  # h = 31, band = 63+1
+        # band_length = k + h + 1 = 64 exactly: band_down = 63, the one
+        # geometry where _stream_column leaves eq_hi unmasked
+        m, k = 100, 31
+        n = m + 1  # h = 32
         self._check(rng, 2, m, 256, n, k)
+
+    def test_band_at_63(self, rng):
+        self._check(rng, 2, 100, 256, 100, 31)  # band_down = 62, masked
 
     def test_tiny_threshold(self, rng):
         self._check(rng, 2, 150, 256, 150, 1)

@@ -89,3 +89,12 @@ def test_fasta_fastq(tmp_path):
     fq.write_text("@r1\nACGT\n+\n@@@@\n@r2\nGGGG\n+\nIIII\n")
     fastx.convert_fastq(str(fq), str(out))
     assert out.read_text() == "ACGT\nGGGG\n"
+
+
+def test_query_file_trailing_blank_lines(tmp_path):
+    from bgsa_tpu.io import seqfile
+
+    p = str(tmp_path / "q.txt")
+    open(p, "w").write("ACGT\nTTTT\n\n\n")
+    q = seqfile.read_queries(p)
+    assert q.shape == (2, 4)
