@@ -127,7 +127,9 @@ def convert_main(argv=None) -> int:
     p.add_argument("-q", dest="fastq", help="convert FASTQ file")
     p.add_argument("-r", dest="result", help="convert binary result file to text")
     p.add_argument("-o", dest="output", default="convert_result.txt", help="output file")
-    p.add_argument("--banded", action="store_true", help="result file holds int8 banded scores")
+    p.add_argument("--banded", action="store_true",
+                   help="force int8 banded scores (normally inferred from the "
+                        "file size; the reference needs a per-family binary)")
     args = p.parse_args(argv)
 
     from .io import fastx, result as result_io
@@ -137,7 +139,7 @@ def convert_main(argv=None) -> int:
     elif args.fastq:
         fastx.convert_fastq(args.fastq, args.output)
     elif args.result:
-        dtype = np.int8 if args.banded else np.int16
+        dtype = np.int8 if args.banded else None  # None -> infer from size
         result_io.convert_result(args.result, args.output, write_dtype=dtype)
     else:
         p.error("one of -f / -q / -r is required")

@@ -122,6 +122,30 @@ def read_info(info_path: str) -> InfoData:
     return InfoData(block_num, device_num, ref_count, counts, extras)
 
 
+def infer_write_dtype(result_path: str,
+                      ref_bucket_count: int = REF_BUCKET_COUNT):
+    """int8 (banded) vs int16 (full) from file size / element count.
+
+    The reference needs separately-compiled converters per family; the .info
+    manifest pins the element count, so the byte size decides.
+    """
+    import os
+
+    info = read_info(result_path + ".info")
+    elements = info.ref_count * sum(
+        sum(counts) for counts in info.device_read_counts
+    )
+    size = os.path.getsize(result_path)
+    if elements and size == elements:
+        return np.int8
+    if elements and size == 2 * elements:
+        return np.int16
+    raise ValueError(
+        f"{result_path}: {size} bytes does not match {elements} scores "
+        "at int8 or int16 — pass the dtype explicitly"
+    )
+
+
 def convert_result(result_path: str, out_path: str, write_dtype=np.int16,
                    ref_bucket_count: int = REF_BUCKET_COUNT) -> None:
     """Reference-identical ``convert -r``: blocked binary -> text scores.
@@ -130,6 +154,9 @@ def convert_result(result_path: str, out_path: str, write_dtype=np.int16,
     per-line Python loop is the bottleneck at tens of millions of scores.
     """
     from .. import native
+
+    if write_dtype is None:
+        write_dtype = infer_write_dtype(result_path, ref_bucket_count)
 
     if native.convert_result(result_path, out_path, np.dtype(write_dtype).itemsize,
                              ref_bucket_count):

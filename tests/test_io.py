@@ -98,3 +98,33 @@ def test_query_file_trailing_blank_lines(tmp_path):
     open(p, "w").write("ACGT\nTTTT\n\n\n")
     q = seqfile.read_queries(p)
     assert q.shape == (2, 4)
+
+
+def test_convert_dtype_inference(tmp_path, rng):
+    """convert -r without --banded infers int8 vs int16 from the file size."""
+    import bgsa_tpu
+    from bgsa_tpu.banded_pipeline import run_banded
+    from bgsa_tpu.io import result as result_io, seqfile
+    from bgsa_tpu.pipeline import PipelineConfig, run_alignment
+
+    q = rng.integers(0, 4, size=(2, 40))
+    s = rng.integers(0, 4, size=(300, 40))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    cfg = PipelineConfig(backend="xla")
+
+    full = str(tmp_path / "full.bin")
+    run_alignment(qp, sp, full, config=cfg)
+    assert result_io.infer_write_dtype(full) == np.int16
+    a, b = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
+    result_io.convert_result(full, a, write_dtype=None)
+    result_io.convert_result(full, b, write_dtype=np.int16)
+    assert open(a).read() == open(b).read()
+
+    banded = str(tmp_path / "band.bin")
+    run_banded(qp, sp, banded, 6, cfg)
+    assert result_io.infer_write_dtype(banded) == np.int8
+    c = str(tmp_path / "c.txt")
+    result_io.convert_result(banded, c, write_dtype=None)
+    assert len(open(c).read().splitlines()) == 600
