@@ -14,9 +14,12 @@ TPU-native re-design of the reference's banded family
   schedule, ``banded_ref.checkpoint_columns``); dead lanes report
   MAX_ERROR=127. Early exit as *control flow* would diverge across lanes; as
   masking it is branch-free and still exact.
-* One subject character is injected into the sliding Peq window per column,
-  from a packed injection stream (pack.pack_banded) — a dynamic-sliced word
-  load every 32 columns instead of the reference's per-word pointer walk.
+* Two kernel strategies: ``banded_stream`` (the fast path) *loads* each
+  column's 64-bit Eq window from a static per-character bit-stream with a
+  funnel shift (pack.pack_banded_stream_jax) — no loop-carried Peq planes at
+  all; ``banded`` carries the sliding Peq window like the reference (shift +
+  inject per column) and covers the s_len < q_len geometries the stream view
+  cannot represent.
 """
 
 from __future__ import annotations
@@ -193,8 +196,7 @@ def _kernel(q_ref, chk_ref, init_lo_ref, init_hi_ref, inj_ref, out_ref, *,
     def batch_body(carry):
         b, state = carry
         base = b * BATCH_COLS
-        # 4-column unroll inside the batch (see myers_pallas: the column loop
-        # is latency-bound; measured +50% median on the filter workload).
+        # 4-column unroll inside the batch (see docs/PERF.md).
         UNROLL = 4
 
         def inner(i, st):

@@ -17,6 +17,11 @@ the VPU instead of translated:
 Bit semantics are identical to the reference (31 usable bits per uint32 word,
 reserved top carry bit, HP/HN cross-word shift chain, score bit at
 ``(read_len-1) % 31`` of the last word), so scores match bit-for-bit.
+
+Note: the engine's TPU path uses the full-word kernel
+(ops/myers_semiglobal.py with ``is_global=True``) instead — measured ~6-12%
+faster; this module remains the reference-layout kernel (word_bits
+parameterized) and the direct analogue of the generated C.
 """
 
 from __future__ import annotations
