@@ -58,6 +58,38 @@ def align_main(argv=None) -> int:
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
+    # FASTA/FASTQ inputs convert to the line format transparently (the
+    # reference requires a manual ./convert -f/-q pass first).
+    import atexit
+    import tempfile
+
+    def _as_line_format(path: str) -> str:
+        # Line-format files start with a base character; '>' means FASTA,
+        # '@' with a '+' third line means FASTQ.
+        with open(path, "rb") as f:
+            first = f.read(1)
+            if first == b"@":
+                f.readline()
+                f.readline()
+                is_fastq = f.readline()[:1] == b"+"
+            else:
+                is_fastq = False
+        if first != b">" and not is_fastq:
+            return path
+        from .io import fastx
+
+        tmp = tempfile.NamedTemporaryFile(suffix=".txt", delete=False, prefix="bgsa_")
+        tmp.close()
+        atexit.register(os.unlink, tmp.name)
+        if first == b">":
+            fastx.convert_fasta(path, tmp.name)
+        else:
+            fastx.convert_fastq(path, tmp.name)
+        return tmp.name
+
+    args.query = _as_line_format(args.query)
+    args.database = _as_line_format(args.database)
+
     cfg_kwargs = {
         "backend": args.backend,
         "local_shards": args.shards,

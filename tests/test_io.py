@@ -128,3 +128,33 @@ def test_convert_dtype_inference(tmp_path, rng):
     c = str(tmp_path / "c.txt")
     result_io.convert_result(banded, c, write_dtype=None)
     assert len(open(c).read().splitlines()) == 600
+
+
+def test_cli_accepts_fastx_inputs(tmp_path, rng):
+    """bgsa-align converts FASTA/FASTQ inputs transparently."""
+    from bgsa_tpu import cli
+    from bgsa_tpu.io import result as result_io, seqfile
+
+    q = rng.integers(0, 4, size=(2, 30))
+    s = rng.integers(0, 4, size=(150, 30))
+    lut = "ACGT"
+    fq = str(tmp_path / "s.fq")
+    with open(fq, "w") as f:
+        for i, row in enumerate(s):
+            seq = "".join(lut[c] for c in row)
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * 30}\n")
+    fa = str(tmp_path / "q.fa")
+    with open(fa, "w") as f:
+        for i, row in enumerate(q):
+            seq = "".join(lut[c] for c in row)
+            f.write(f">q{i}\n{seq[:15]}\n{seq[15:]}\n")
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+
+    r1, r2 = str(tmp_path / "r1.bin"), str(tmp_path / "r2.bin")
+    assert cli.main(["align", "-q", fa, "-d", fq, "-f", r1, "--backend", "xla",
+                     "--quiet"]) == 0
+    assert cli.main(["align", "-q", qp, "-d", sp, "-f", r2, "--backend", "xla",
+                     "--quiet"]) == 0
+    assert open(r1, "rb").read() == open(r2, "rb").read()
