@@ -66,6 +66,8 @@ def align_main(argv=None) -> int:
     def _as_line_format(path: str) -> str:
         # Line-format files start with a base character; '>' means FASTA,
         # '@' with a '+' third line means FASTQ.
+        if not os.path.exists(path):
+            p.error(f"{path}: no such file")
         with open(path, "rb") as f:
             first = f.read(1)
             if first == b"@":
@@ -138,7 +140,7 @@ def align_main(argv=None) -> int:
                 args.query, args.database, args.result, scoring, mode, config,
                 shard=shard, shard_ratios=ratios, resume=args.resume,
             )
-    except ValueError as e:
+    except (ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     if shard is not None:
