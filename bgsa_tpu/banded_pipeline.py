@@ -73,11 +73,17 @@ class BandedEngine:
 
         return step
 
+    def scores_packed(self, query_codes: np.ndarray, transport: str, packed, s_len: int):
+        """Score against a transport-packed subject batch (pipeline hot path)."""
+        step = self._step(query_codes.shape[1], s_len, transport)
+        return step(query_codes.astype(np.int32), packed)
+
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int8 error counts."""
         transport, packed = pack.select_transport(subject_codes)
-        step = self._step(query_codes.shape[1], subject_codes.shape[1], transport)
-        return step(query_codes.astype(np.int32), packed)
+        return self.scores_packed(
+            query_codes, transport, packed, subject_codes.shape[1]
+        )
 
 
 def run_banded(

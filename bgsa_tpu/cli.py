@@ -74,6 +74,13 @@ def align_main(argv=None) -> int:
                 f.readline()
                 f.readline()
                 is_fastq = f.readline()[:1] == b"+"
+                if not is_fastq:
+                    # Line-format files start with a base character; a '@'
+                    # that fails the '+'-line sniff is a malformed FASTQ, not
+                    # sequences — passing it through would silently encode
+                    # headers/qualities as code 0 ('A').
+                    p.error(f"{path}: starts with '@' but is not valid FASTQ "
+                            "(third line of the first record must start with '+')")
             else:
                 is_fastq = False
         if first != b">" and not is_fastq:
@@ -186,7 +193,9 @@ def merge_main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="bgsa-merge", description=merge_main.__doc__)
     p.add_argument("shards", nargs="+", help="shard files, any order")
     p.add_argument("-o", dest="output", required=True, help="merged result file")
-    p.add_argument("--banded", action="store_true", help="shards hold int8 banded scores")
+    p.add_argument("--banded", action="store_true",
+                   help="shards hold int8 banded scores (only needed for shards "
+                        "written before the dtype was recorded in the sidecar)")
     args = p.parse_args(argv)
 
     from .parallel.multihost import ShardMeta, merge_shards
@@ -205,10 +214,16 @@ def merge_main(argv=None) -> int:
         if len(m.block_counts) != len(metas[0].block_counts):
             p.error(f"shard {m.host_id}: {len(m.block_counts)} buckets != "
                     f"{len(metas[0].block_counts)} (shards from different runs?)")
-    merge_shards(
-        args.output, shards, metas,
-        write_dtype=np.int8 if args.banded else np.int16,
-    )
+        if m.dtype != metas[0].dtype:
+            p.error(f"shard {m.host_id}: dtype {m.dtype} != {metas[0].dtype} "
+                    "(shards from different runs?)")
+    # The sidecar records the score dtype (int16 full / int8 banded);
+    # --banded only overrides legacy sidecars that predate the field.
+    dtype = np.dtype(np.int8) if args.banded else np.dtype(metas[0].dtype)
+    try:
+        merge_shards(args.output, shards, metas, write_dtype=dtype)
+    except ValueError as e:
+        p.error(str(e))
     return 0
 
 

@@ -31,12 +31,16 @@ REF_BUCKET_COUNT = 100  # queries per compute tile, reference config.h
 
 def detect_line_length(path: str) -> int:
     """Length of the first line (bytes before the first newline)."""
+    length = 0
     with open(path, "rb") as f:
-        chunk = f.read(1 << 20)
-    pos = chunk.find(b"\n")
-    if pos < 0:
-        return len(chunk)
-    return pos
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                return length
+            pos = chunk.find(b"\n")
+            if pos >= 0:
+                return length + pos
+            length += len(chunk)
 
 
 @dataclasses.dataclass

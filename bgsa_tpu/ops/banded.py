@@ -303,7 +303,7 @@ def _stream_kernel(q_ref, chk_ref, stream_ref, out_ref, *, q_len, s_len, k, unro
     jax.jit, static_argnames=("q_len", "s_len", "k", "rows_per_block", "unroll", "interpret")
 )
 def banded_stream(stream, queries, *, q_len: int, s_len: int, k: int,
-                  rows_per_block: int = 32, unroll: int = 4,
+                  rows_per_block: int = 32, unroll: int | None = None,
                   interpret: bool = False):
     """Pallas TPU backend on the flat Eq bit-stream (the fast path).
 
@@ -313,6 +313,8 @@ def banded_stream(stream, queries, *, q_len: int, s_len: int, k: int,
     """
     C, W, S = stream.shape
     Q, m = queries.shape
+    if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
+        unroll = 1 if interpret else 4
     h, _, _ = _geometry(q_len, s_len, k)  # validate band
     if h < k:
         raise ValueError(
@@ -334,8 +336,8 @@ def banded_stream(stream, queries, *, q_len: int, s_len: int, k: int,
             _stream_kernel, q_len=q_len, s_len=s_len, k=k,
             # batch body covers 32 columns; a non-divisor unroll would skip
             # the batch tail, so round down to a divisor {1,2,4,8,16,32}
-            unroll=1 if interpret else max(u for u in (1, 2, 4, 8, 16, 32)
-                                           if u <= max(1, min(unroll, 32))),
+            unroll=max(u for u in (1, 2, 4, 8, 16, 32)
+                       if u <= max(1, min(unroll, 32))),
         ),
         grid=(nb, Q),
         in_specs=[

@@ -313,7 +313,7 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, read_len, q_len, factor, semi_global, 
 )
 def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
            factor: int = 1, semi_global: bool = False, rows_per_block: int = 16,
-           unroll: int = 10, interpret: bool = False):
+           unroll: int | None = None, interpret: bool = False):
     """Pallas TPU backend. S % 128 == 0; returns (Q, S) int32 scores.
 
     Default rows_per_block is smaller than the Myers kernels': the non-packed
@@ -322,6 +322,8 @@ def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
     p = BitpalParams(match, mismatch, gap)
     C, W, S = eq.shape
     Q, m = queries.shape
+    if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
+        unroll = 1 if interpret else 10
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
@@ -335,7 +337,7 @@ def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
     out = pl.pallas_call(
         functools.partial(
             _kernel, p=p, read_len=read_len, q_len=m, factor=factor,
-            semi_global=semi_global, unroll=1 if interpret else max(1, min(unroll, m)),
+            semi_global=semi_global, unroll=max(1, min(unroll, m)),
         ),
         grid=(nb, Q),
         in_specs=[

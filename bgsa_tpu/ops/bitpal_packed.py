@@ -293,8 +293,8 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_g
     ),
 )
 def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
-                  semi_global=False, rows_per_block: int = 8, unroll: int = 20,
-                  interpret: bool = False):
+                  semi_global=False, rows_per_block: int = 8,
+                  unroll: int | None = None, interpret: bool = False):
     """Pallas TPU backend; S % 128 == 0 -> (Q, S) int32 scores."""
     p = BitpalParams(match, mismatch, gap)
     if not packed_supported(p):
@@ -302,6 +302,8 @@ def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
     nbits = _bits_num(p)
     C, W, S = eq.shape
     Q, m = queries.shape
+    if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
+        unroll = 1 if interpret else 20
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
@@ -313,7 +315,7 @@ def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
     out = pl.pallas_call(
         functools.partial(
             _kernel, p=p, nbits=nbits, read_len=read_len, q_len=m, factor=factor,
-            semi_global=semi_global, unroll=1 if interpret else max(1, min(unroll, m)),
+            semi_global=semi_global, unroll=max(1, min(unroll, m)),
         ),
         grid=(nb, Q),
         in_specs=[

@@ -14,13 +14,24 @@ import jax.numpy as jnp
 
 
 def choose_rows(rows: int, *limits: int) -> tuple[int, int]:
-    """(rows_per_block, padded_rows) with the Mosaic sublane constraint."""
+    """(rows_per_block, padded_rows) with the Mosaic sublane constraint.
+
+    Blocks are floored at 8 sublane rows (or the whole array when it is
+    smaller) — a VMEM budget below that cannot be honored by shrinking the
+    row axis, so callers' budget formulas must treat 8 rows as the minimum
+    block (their per-word VMEM cost times 8 is the floor; see the
+    ``budget_rows = max(..., 1)`` expressions in the kernel wrappers).
+    """
     r = min(rows, *limits)
     if r <= 0:
         r = 1
     if r >= rows:
         return rows, rows
     r = max(r - r % 8, 8)
+    if r >= rows:
+        # The 8-row floor reached the whole array: a full-dimension block
+        # also satisfies Mosaic and avoids padding past the array.
+        return rows, rows
     padded = -(-rows // r) * r
     return r, padded
 

@@ -124,7 +124,7 @@ def myers_global(
     word_bits: int = WORD_BITS,
     factor: int = -1,
     rows_per_block: int = DEFAULT_ROWS,
-    unroll: int = 20,
+    unroll: int | None = None,
     interpret: bool = False,
 ):
     """Global unit-cost Myers scores on TPU.
@@ -137,6 +137,8 @@ def myers_global(
     """
     C, W, S = eq.shape
     Q, m = queries.shape
+    if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
+        unroll = 1 if interpret else 20
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
@@ -157,7 +159,7 @@ def myers_global(
     out = pl.pallas_call(
         functools.partial(
             _kernel, read_len=read_len, word_bits=word_bits, factor=factor, q_len=m,
-            unroll=1 if interpret else max(1, min(unroll, m)),
+            unroll=max(1, min(unroll, m)),
         ),
         grid=grid,
         in_specs=[

@@ -138,13 +138,15 @@ def myers_semiglobal(
     read_len: int,
     factor: int = -1,
     rows_per_block: int = 16,
-    unroll: int = 20,
+    unroll: int | None = None,
     interpret: bool = False,
     is_global: bool = False,
 ):
     """Pallas TPU backend. eq (5, W, S) uint32 (32-bit packing), S % 128 == 0."""
     C, W, S = eq.shape
     Q, m = queries.shape
+    if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
+        unroll = 1 if interpret else 20
     LANES = 128
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
@@ -157,7 +159,7 @@ def myers_semiglobal(
     out = pl.pallas_call(
         functools.partial(
             _kernel, read_len=read_len, factor=factor, q_len=m, is_global=is_global,
-            unroll=1 if interpret else max(1, min(unroll, m)),
+            unroll=max(1, min(unroll, m)),
         ),
         grid=(nb, Q),
         in_specs=[

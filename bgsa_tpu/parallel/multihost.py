@@ -60,6 +60,7 @@ class ShardMeta:
     ref_count: int
     block_counts: list[int]  # this host's subject count per bucket
     extra_counts: list[int]  # pads (only the last host carries pads)
+    dtype: str = "int16"  # score element type of the shard file
 
     def save(self, path: str) -> None:
         import json
@@ -75,34 +76,54 @@ class ShardMeta:
             return cls(**json.load(f))
 
 
-def shard_resume_point(result_path: str, bucket_counts, ref_count: int,
-                       itemsize: int, n_hosts: int, host_id: int,
-                       v_num: int, ratios=None) -> tuple[int, "ShardMeta"]:
+def shard_resume_point(result_path: str, meta_path: str, ref_count: int,
+                       write_dtype, n_hosts: int,
+                       host_id: int) -> tuple[int, "ShardMeta | None"]:
     """Completed-bucket count for a raw shard file (the --host role's
-    crash recovery). Bucket byte sizes are reconstructed deterministically
-    from the database geometry (bucket_counts) and the host split — no
-    sidecar needed; the file is truncated to the last complete bucket.
+    crash recovery). The incrementally-saved ShardMeta sidecar records the
+    per-bucket split actually used (which may vary under dynamic balancing);
+    the file size arbitrates how many of those buckets completed, and the
+    file is truncated to that boundary.
 
-    Returns (done_buckets, meta-with-done-buckets-recorded).
+    Returns (done_buckets, meta) — meta is None for a fresh start. Refuses
+    (ValueError) when the sidecar is missing or disagrees with the resume
+    parameters: guessing the split risks appending misaligned data.
     """
     import os
 
-    meta = ShardMeta(host_id, n_hosts, ref_count, [], [])
     if not os.path.exists(result_path):
-        return 0, meta
+        return 0, None
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"cannot resume {result_path}: sidecar {meta_path} is missing, so "
+            "the bucket split used by the interrupted run is unknown — delete "
+            "the shard file to start over"
+        )
+    meta = ShardMeta.load(meta_path)
+    dtype = np.dtype(write_dtype)
+    for field, want, got in (
+        ("host", host_id, meta.host_id),
+        ("host count", n_hosts, meta.n_hosts),
+        ("query count", ref_count, meta.ref_count),
+        ("dtype", dtype.name, meta.dtype),
+    ):
+        if want != got:
+            raise ValueError(
+                f"cannot resume {result_path}: {field} mismatch (shard was "
+                f"written with {got}, resume requested {want})"
+            )
     size = os.path.getsize(result_path)
     off = 0
     done = 0
-    for total, extra in bucket_counts:
-        count = host_slice(total, n_hosts, host_id, v_num, ratios)[1]
-        nbytes = count * ref_count * itemsize
+    for count in meta.block_counts:
+        nbytes = count * ref_count * dtype.itemsize
         if off + nbytes <= size:
             off += nbytes
             done += 1
-            meta.block_counts.append(count)
-            meta.extra_counts.append(extra if host_id == n_hosts - 1 else 0)
         else:
             break
+    del meta.block_counts[done:]
+    del meta.extra_counts[done:]
     with open(result_path, "r+b") as f:
         f.truncate(off)
     return done, meta
@@ -138,6 +159,15 @@ def merge_shards(result_path: str, shard_paths: list[str], metas: list[ShardMeta
 
     import os
 
+    for p, m in zip(shard_paths, metas):
+        want = sum(m.block_counts) * ref_count * itemsize
+        have = os.path.getsize(p)
+        if have != want:
+            raise ValueError(
+                f"shard {p}: {have} bytes but meta implies {want} "
+                f"({sum(m.block_counts)} subjects x {ref_count} queries x "
+                f"{np.dtype(write_dtype).name}) — wrong dtype or truncated shard"
+            )
     shards = [
         np.memmap(p, dtype=write_dtype, mode="r")
         if os.path.getsize(p)

@@ -192,6 +192,15 @@ class Engine:
 
         return jax.jit(step_local)
 
+    def scores_packed(self, query_codes: np.ndarray, transport: str, packed, s_len: int):
+        """Score against a transport-packed subject batch (see pack.select_transport).
+
+        The pipeline packs each bucket once and reuses it across every query
+        bucket (the reference packs once per bucket too, in its input thread).
+        """
+        step = self._step(query_codes.shape[1], s_len, transport)
+        return step(query_codes.astype(np.int32), packed)
+
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int16 scores.
 
@@ -200,8 +209,9 @@ class Engine:
         the jitted step (the upload is the production bottleneck).
         """
         transport, packed = pack.select_transport(subject_codes)
-        step = self._step(query_codes.shape[1], subject_codes.shape[1], transport)
-        return step(query_codes.astype(np.int32), packed)
+        return self.scores_packed(
+            query_codes, transport, packed, subject_codes.shape[1]
+        )
 
 
 def run_alignment(
@@ -280,6 +290,7 @@ def run_bucketed(
     pad_to = db.seqs_per_bucket if db.bucket_count > 1 else 0
 
     meta = None
+    meta_path = result_path + ".meta.json"
     done_buckets = 0
     if shard is not None:
         from .parallel.multihost import ShardMeta, host_slice, shard_resume_point
@@ -287,15 +298,18 @@ def run_bucketed(
         host_id, n_hosts = shard
         if resume:
             done_buckets, meta = shard_resume_point(
-                result_path, db.bucket_counts(), len(queries),
-                np.dtype(write_dtype).itemsize, n_hosts, host_id, v_num,
-                shard_ratios,
+                result_path, meta_path, len(queries),
+                np.dtype(write_dtype), n_hosts, host_id,
             )
-            stats.subject_count += sum(
-                c - e for c, e in zip(meta.block_counts, meta.extra_counts)
-            )
+            if meta is not None:
+                stats.subject_count += sum(
+                    c - e for c, e in zip(meta.block_counts, meta.extra_counts)
+                )
         if meta is None:
-            meta = ShardMeta(host_id, n_hosts, len(queries), [], [])
+            meta = ShardMeta(
+                host_id, n_hosts, len(queries), [], [],
+                dtype=np.dtype(write_dtype).name,
+            )
         writer_fp = open(result_path, "ab" if done_buckets else "wb")
         if pad_to:
             pad_to = host_slice(pad_to, n_hosts, host_id, v_num, shard_ratios)[1]
@@ -309,14 +323,20 @@ def run_bucketed(
             device_num=1, write_dtype=write_dtype, append=done_buckets > 0,
         )
 
-    if pad_to:
-        # Compile up front against the uniform bucket shape so cal_time is
-        # steady-state kernel time (the reference has no compile phase).
-        # Both transports are warmed: N-free buckets ride the 2-bit path,
-        # but the final bucket carries the reference's 'N' lane pads.
+    # Compile up front against the run's bucket shape so cal_time is
+    # steady-state kernel time (the reference has no compile phase) — also
+    # for single-bucket runs, whose shape is known from the file geometry.
+    # Both transports are warmed: N-free buckets ride the 2-bit path,
+    # but the final bucket carries the reference's 'N' lane pads.
+    warm_rows = pad_to
+    if not warm_rows and done_buckets < db.bucket_count:
+        warm_rows = db.bucket_counts()[0][0]
+        if shard is not None:
+            warm_rows = host_slice(warm_rows, n_hosts, host_id, v_num, shard_ratios)[1]
+    if warm_rows and done_buckets < db.bucket_count:
         t0 = time.perf_counter()
         for fill in (0, 4):
-            dummy = np.full((pad_to, db.length), fill, np.uint8)
+            dummy = np.full((warm_rows, db.length), fill, np.uint8)
             for nq in sorted({qb.shape[0] for qb in q_buckets}):
                 engine.scores(queries[:nq], dummy).block_until_ready()
         stats.compile_time = time.perf_counter() - t0
@@ -378,6 +398,9 @@ def run_bucketed(
             meta.block_counts.append(count)
             meta.extra_counts.append(bucket.extra_count if host_id == n_hosts - 1 else 0)
             stats.subject_count += count - meta.extra_counts[-1]
+            # Persist incrementally so shard resume can trust the recorded
+            # split (the file itself arbitrates how many buckets completed).
+            meta.save(meta_path)
         else:
             events.append(("bucket", [bucket.count], bucket.extra_count))
             stats.subject_count += bucket.count - bucket.extra_count
@@ -391,10 +414,16 @@ def run_bucketed(
             # real rows are N-free.
             pad = np.zeros((pad_to - real, codes.shape[1]), codes.dtype)
             codes = np.concatenate([codes, pad])
+        # Host-side transport packing, once per bucket (reused across query
+        # buckets) — the analogue of the reference's pack phase, billed to
+        # mem_total_time like its *_handle_reads (cal_sse.c:469-487).
+        t0 = time.perf_counter()
+        transport, packed = pack.select_transport(codes)
+        stats.pack_time += time.perf_counter() - t0
         for qb in q_buckets:
             t_cal = time.perf_counter()
-            dev_scores = engine.scores(qb, codes)  # async dispatch
-            stats.cal_time += time.perf_counter() - t_cal
+            dev_scores = engine.scores_packed(qb, transport, packed, codes.shape[1])
+            stats.cal_time += time.perf_counter() - t_cal  # async dispatch
             events.append(("scores", dev_scores, real, bucket_index))
             n_pending += 1
             drain(1)

@@ -164,17 +164,84 @@ def test_shard_resume_after_interruption(tmp_path, rng):
     pl_mod.run_alignment(qp, sp, full, config=cfg, shard=(0, 2))
     want = open(full, "rb").read()
 
-    # simulate a crash: keep 1.5 buckets' worth of bytes
+    # simulate a crash: keep 1.5 buckets' worth of bytes, plus the
+    # incrementally-saved sidecar recording the split actually used
     db = seqfile.DatabaseReader(sp, cfg.bucket_size, cfg.v_num)
     counts = db.bucket_counts()
     first_count = multihost.host_slice(counts[0][0], 2, 0, cfg.v_num)[1]
     keep = first_count * Q * 2 + 100  # bucket 0 complete + partial bucket 1
     part = str(tmp_path / "part.bin")
     open(part, "wb").write(want[:keep])
+    import shutil
+
+    shutil.copy(full + ".meta.json", part + ".meta.json")
 
     stats, meta = pl_mod.run_alignment(qp, sp, part, config=cfg, shard=(0, 2), resume=True)
     assert open(part, "rb").read() == want
     assert len(meta.block_counts) == len(counts)
+
+
+def test_shard_resume_refuses_without_sidecar(tmp_path, rng):
+    """Resuming a shard whose split record is gone must refuse, not guess
+    offsets and append misaligned data."""
+    q = rng.integers(0, 4, size=(2, 20))
+    s = rng.integers(0, 4, size=(600, 20))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=256 * 21)
+    part = str(tmp_path / "part.bin")
+    open(part, "wb").write(b"\0" * 100)  # orphan shard, no .meta.json
+    with pytest.raises(ValueError, match="meta.json is missing"):
+        pl_mod.run_alignment(qp, sp, part, config=cfg, shard=(0, 2), resume=True)
+
+
+def test_merge_infers_dtype_from_sidecar(tmp_path, rng):
+    """Banded (int8) shards merge correctly without the --banded flag: the
+    sidecar records the dtype (regression: itemsize used to come solely from
+    the flag, silently corrupting the merged file)."""
+    from bgsa_tpu import cli
+    from bgsa_tpu.banded_pipeline import run_banded
+
+    Q, m, S, n = 3, 40, 500, 44
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    s[:30, :m] = q[0]
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=256 * (n + 1))
+
+    single = str(tmp_path / "single.bin")
+    run_banded(qp, sp, single, 6, cfg)
+    shards = []
+    for h in range(2):
+        sh = str(tmp_path / f"sh{h}.bin")
+        _, meta = run_banded(qp, sp, sh, 6, cfg, shard=(h, 2))
+        assert meta.dtype == "int8"
+        meta.save(sh + ".meta.json")
+        shards.append(sh)
+    merged = str(tmp_path / "merged.bin")
+    assert cli.main(["merge", *shards, "-o", merged]) == 0  # no --banded
+    conv_a, conv_b = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
+    result_io.convert_result(single, conv_a, write_dtype=np.int8)
+    result_io.convert_result(merged, conv_b, write_dtype=np.int8)
+    assert open(conv_a).read() == open(conv_b).read()
+
+
+def test_merge_rejects_size_mismatch(tmp_path):
+    """A shard whose byte size disagrees with its sidecar (wrong dtype or
+    truncation) is rejected instead of silently merged."""
+    metas = [multihost.ShardMeta(h, 2, 5, [128], [0], dtype="int16") for h in range(2)]
+    paths = []
+    for h, meta in enumerate(metas):
+        p = str(tmp_path / f"s{h}.bin")
+        # int8-sized payload under an int16 meta: half the expected bytes
+        open(p, "wb").write(b"\0" * (128 * 5 * (1 if h else 2)))
+        meta.save(p + ".meta.json")
+        paths.append(p)
+    with pytest.raises(ValueError, match="wrong dtype or truncated"):
+        multihost.merge_shards(str(tmp_path / "m.bin"), paths, metas)
 
 
 def test_cli_rejects_ratio_without_host(tmp_path, rng):
