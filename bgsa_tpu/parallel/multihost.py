@@ -204,11 +204,16 @@ class DynamicBalancer:
 
     Recency-weighted moving average over per-bucket compute times, following
     ``adjust_device_ratio3`` (reference ``original/BGSA_KNC/global.c:120-168``):
-    each round, scale every host's ratio by ``t_host0 / t_host``; from round 2
-    on, blend with the ratio history weighted by round index (newer rounds
-    count more); host 0's ratio is pinned to 1. Even splits are optimal on
-    homogeneous TPU slices — this exists for heterogeneous deployments
-    (mixed chip generations, or chips sharing hosts with other work).
+    each round, scale every host's ratio by ``t_host0 / t_host``; from round 3
+    on, blend with the ratio history from round 2 onward weighted by round
+    index (newer rounds count more; the C's history loop starts at slot 1,
+    skipping round 1's entry); host 0's ratio is pinned to 1. Bit-exact
+    against the compiled C — pinned by ``tests/golden/balancer_trace.json``,
+    traces from a harness around the verbatim reference function with the
+    driver's zero-initialized history and ``time_index++``-per-call semantics
+    (``cal_all.c:971-980,1312,1332``). Even splits are optimal on homogeneous
+    TPU slices — this exists for heterogeneous deployments (mixed chip
+    generations, or chips sharing hosts with other work).
     """
 
     def __init__(self, n_hosts: int, initial_ratios=None):

@@ -73,6 +73,25 @@ def test_local_shards_engine(tmp_path, rng):
     assert a == b
 
 
+def test_dynamic_balancer_matches_reference_trace():
+    """Bit-exact against ``adjust_device_ratio3``: the fixture holds ratio
+    traces produced by a compiled harness around the verbatim reference
+    function (``original/BGSA_KNC/global.c:120-168``) with the driver's
+    allocation semantics (zero history, ``time_index++`` per call —
+    ``cal_all.c:971-980,1312,1332``). Float64 op order matches, so equality
+    is exact, not approximate."""
+    import json
+    import os
+
+    fix = json.load(open(os.path.join(os.path.dirname(__file__),
+                                      "golden", "balancer_trace.json")))
+    assert {c["n_devices"] for c in fix} == {2, 3, 4}
+    for case in fix:
+        bal = multihost.DynamicBalancer(case["n_devices"])
+        for times, want in zip(case["times"], case["ratios"]):
+            assert bal.update(times) == want
+
+
 def test_dynamic_balancer_converges():
     # host 1 is 3x faster than host 0: ratios should approach [1, 3]
     bal = multihost.DynamicBalancer(2)
