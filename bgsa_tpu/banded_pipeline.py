@@ -95,8 +95,10 @@ def run_banded(
     shard: tuple[int, int] | None = None,
     shard_ratios=None,
     resume: bool = False,
+    dynamic: bool = False,
+    sync_dir: str | None = None,
 ):
-    """Banded filter run; same multi-host/resume surface as run_alignment.
+    """Banded filter run; same multi-host/resume/-D surface as run_alignment.
 
     With ``shard=(host_id, n_hosts)`` writes this host's raw shard file and
     returns (stats, ShardMeta) for parallel.multihost.merge_shards.
@@ -105,5 +107,5 @@ def run_banded(
     return run_bucketed(
         engine, query_path, db_path, result_path, config,
         shard=shard, shard_ratios=shard_ratios, resume=resume,
-        write_dtype=np.int8,
+        write_dtype=np.int8, dynamic=dynamic, sync_dir=sync_dir,
     )

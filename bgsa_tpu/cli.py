@@ -21,6 +21,22 @@ import numpy as np
 from .schemes import Mode, Scoring
 
 
+def _auto_host_role() -> tuple[int, int] | None:
+    """(host_id, n_hosts) for ``--host auto``: explicit env first, then an
+    initialized jax.distributed runtime (process index/count)."""
+    hid, nh = os.environ.get("BGSA_HOST_ID"), os.environ.get("BGSA_NUM_HOSTS")
+    if hid is not None and nh is not None:
+        return int(hid), int(nh)
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            return jax.process_index(), jax.process_count()
+    except Exception:
+        pass
+    return None
+
+
 def align_main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="bgsa-align", description=__doc__)
     p.add_argument("-q", dest="query", required=True, help="query file (fixed-length lines)")
@@ -42,10 +58,18 @@ def align_main(argv=None) -> int:
     p.add_argument("--host", default=None, metavar="I:N",
                    help="multi-host role: this process scores host I's slice of "
                         "every bucket (N hosts total), writing <result> as a raw "
-                        "shard plus <result>.meta.json; combine with 'merge'")
+                        "shard plus <result>.meta.json; combine with 'merge'. "
+                        "'auto' derives I:N from BGSA_HOST_ID/BGSA_NUM_HOSTS or "
+                        "an initialized jax.distributed runtime")
     p.add_argument("-R", dest="ratio_file", default=None,
                    help="device/host ratio file (reference -R: one positive "
                         "float per host, whitespace-separated)")
+    p.add_argument("-D", dest="dynamic", action="store_true",
+                   help="dynamic load balancing (reference -D): re-split every "
+                        "bucket from the hosts' measured times; requires --host")
+    p.add_argument("--sync-dir", default=None, metavar="DIR",
+                   help="shared directory for -D time exchange (default: the "
+                        "result file's directory)")
     p.add_argument("--bucket-size", type=int, default=None, help="database bucket bytes")
     p.add_argument("--stats-json", default=None, metavar="PATH",
                    help="also write run statistics as JSON")
@@ -112,6 +136,16 @@ def align_main(argv=None) -> int:
 
     shard = None
     ratios = None
+    if args.host == "auto":
+        # Role from the environment: the jax.distributed launcher analogue of
+        # the reference's one-process-drives-N-devices split (cal_all.c:71-96).
+        role = _auto_host_role()
+        if role is None:
+            print("error: --host auto: set BGSA_HOST_ID and BGSA_NUM_HOSTS, or "
+                  "initialize jax.distributed (JAX_PROCESS_COUNT et al.)",
+                  file=sys.stderr)
+            return 1
+        args.host = "%d:%d" % role
     if args.host is not None:
         try:
             host_id, n_hosts = (int(x) for x in args.host.split(":"))
@@ -122,6 +156,11 @@ def align_main(argv=None) -> int:
             print(f"error: --host {args.host}: need 0 <= I < N", file=sys.stderr)
             return 1
         shard = (host_id, n_hosts)
+    if args.dynamic and shard is None:
+        print("error: -D requires --host I:N (dynamic balancing re-splits the "
+              "host slices; single-role runs have nothing to balance)",
+              file=sys.stderr)
+        return 1
     if args.ratio_file:
         if shard is None:
             # Local shard_map splits evenly (homogeneous chips); ratios only
@@ -141,11 +180,13 @@ def align_main(argv=None) -> int:
             stats = run_banded(
                 args.query, args.database, args.result, args.threshold, config,
                 shard=shard, shard_ratios=ratios, resume=args.resume,
+                dynamic=args.dynamic, sync_dir=args.sync_dir,
             )
         else:
             stats = pl_mod.run_alignment(
                 args.query, args.database, args.result, scoring, mode, config,
                 shard=shard, shard_ratios=ratios, resume=args.resume,
+                dynamic=args.dynamic, sync_dir=args.sync_dir,
             )
     except (ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)

@@ -199,6 +199,62 @@ def merge_shards(result_path: str, shard_paths: list[str], metas: list[ShardMeta
                     offsets[h] += cnt
 
 
+def bucket_time_path(sync_dir: str, bucket: int, host_id: int) -> str:
+    return f"{sync_dir}/bgsa.bucket{bucket}.host{host_id}.time"
+
+
+def write_bucket_time(sync_dir: str, bucket: int, host_id: int, seconds: float) -> None:
+    """Publish this host's measured compute time for one bucket (atomic,
+    first write wins: a resumed host re-running a bucket must not rewrite a
+    time its peers already consumed — the ratio schedule is append-only)."""
+    import os
+
+    path = bucket_time_path(sync_dir, bucket, host_id)
+    if os.path.exists(path):
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"{seconds:.17g}\n")
+    os.replace(tmp, path)
+
+
+def read_bucket_times(sync_dir: str, bucket: int, n_hosts: int,
+                      timeout: float = 3600.0, poll: float = 0.05) -> list[float]:
+    """Wait for every host's time file for one bucket and return the times.
+
+    The dynamic mode's host synchronization point — the distributed analogue
+    of the reference's per-bucket OpenMP join before ``adjust_device_ratio3``
+    (``original/BGSA_KNC/cal_all.c:1312-1332``). Full-precision text keeps the
+    ratio schedule bit-identical on every host.
+    """
+    import os
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    times: list[float] = []
+    for h in range(n_hosts):
+        path = bucket_time_path(sync_dir, bucket, h)
+        while not os.path.exists(path):
+            if _time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"dynamic balancing: host {h} never published its time "
+                    f"for bucket {bucket} ({path}); did its role crash?"
+                )
+            _time.sleep(poll)
+        with open(path) as f:
+            times.append(float(f.read()))
+    return times
+
+
+def clear_bucket_times(sync_dir: str, host_id: int) -> None:
+    """Remove this host's stale time files (fresh, non-resume runs)."""
+    import glob
+    import os
+
+    for p in glob.glob(f"{sync_dir}/bgsa.bucket*.host{host_id}.time"):
+        os.unlink(p)
+
+
 class DynamicBalancer:
     """Measured-time ratio adaptation (the reference's ``-D`` mode).
 

@@ -66,6 +66,11 @@ class PipelineConfig:
     interpret: bool = False  # Pallas interpreter mode (tests)
     prefetch: int = 2
     local_shards: int = 1  # 1 = single device; 0 = all local devices; n = first n
+    # Dynamic (-D) split granularity: host slices are aligned to
+    # seqs_per_bucket/dynamic_grid so at most dynamic_grid distinct shapes
+    # ever compile (the reference re-splits at V_NUM granularity because its
+    # C kernels take any count; XLA compiles per shape).
+    dynamic_grid: int = 8
     # Packed bit-plane BitPAl: identical scores, +18% over non-packed on v5e
     # (falls back to non-packed where the packed decode doesn't apply).
     bitpal_packed: bool = True
@@ -224,6 +229,8 @@ def run_alignment(
     shard: tuple[int, int] | None = None,
     shard_ratios=None,
     resume: bool = False,
+    dynamic: bool = False,
+    sync_dir: str | None = None,
 ):
     """Full aligner run, reference CLI semantics; returns run statistics.
 
@@ -231,6 +238,10 @@ def run_alignment(
     multi-host run: it scores its lane-aligned slice of every bucket and
     writes a raw shard file plus a ShardMeta (merge with
     parallel.multihost.merge_shards). Returns (stats, meta) in that case.
+
+    ``dynamic=True`` (the reference's ``-D``) re-splits every bucket from the
+    hosts' measured per-bucket times, exchanged through ``sync_dir`` (default:
+    the result file's directory) — requires ``shard``.
 
     ``resume=True`` continues an interrupted run: completed buckets (found in
     the existing result/.info pair, partial tails truncated) are skipped.
@@ -240,7 +251,7 @@ def run_alignment(
     return run_bucketed(
         engine, query_path, db_path, result_path, config,
         shard=shard, shard_ratios=shard_ratios, resume=resume,
-        write_dtype=np.int16,
+        write_dtype=np.int16, dynamic=dynamic, sync_dir=sync_dir,
     )
 
 
@@ -255,6 +266,8 @@ def run_bucketed(
     shard_ratios,
     resume: bool,
     write_dtype,
+    dynamic: bool = False,
+    sync_dir: str | None = None,
 ):
     """Shared bucketed driver for every kernel family (Myers/BitPAl/banded).
 
@@ -262,10 +275,16 @@ def run_bucketed(
     (Q, S) device array``. Handles bucketing, uniform-shape padding (single
     compile per run), warm-up compile accounting, the reader prefetch thread,
     lag-1 result draining, reference result/.info writing, host-role shard
-    files, and resume for both modes.
+    files, dynamic re-splitting (-D), and resume for both modes.
     """
+    import os
+
+    if dynamic and shard is None:
+        raise ValueError("dynamic balancing requires shard=(host_id, n_hosts)")
     stats = RunStats()
     t_start = time.perf_counter()
+    # Test hook: per-host artificial slowdown for dynamic-balancing tests.
+    _test_sleep = float(os.environ.get("BGSA_TEST_BUCKET_SLEEP", "0") or 0)
 
     v_num = config.v_num * engine.n_shards
     t0 = time.perf_counter()
@@ -311,7 +330,37 @@ def run_bucketed(
                 dtype=np.dtype(write_dtype).name,
             )
         writer_fp = open(result_path, "ab" if done_buckets else "wb")
-        if pad_to:
+        if dynamic:
+            # Live re-splitting (the reference's -D, cal_on_all_dynamic,
+            # original/BGSA_KNC/cal_all.c:772-1487): each bucket's split comes
+            # from the measured per-host times of the previous bucket,
+            # exchanged as files in sync_dir; every host replays the same
+            # published times, so the ratio schedule is bit-identical on all
+            # of them. Slices are aligned to `chunk` so at most dynamic_grid
+            # distinct shapes ever compile.
+            from .parallel import multihost as mh
+
+            sync_dir = sync_dir or (os.path.dirname(result_path) or ".")
+            chunk = v_num
+            if db.bucket_count > 1:
+                chunk = v_num * max(
+                    1, -(-db.seqs_per_bucket // (v_num * config.dynamic_grid))
+                )
+            balancer = mh.DynamicBalancer(n_hosts, initial_ratios=shard_ratios)
+            if done_buckets:
+                for b in range(done_buckets):
+                    if not os.path.exists(mh.bucket_time_path(sync_dir, b, host_id)):
+                        # Crashed after writing bucket b's scores but before
+                        # publishing its time; peers are still blocked on this
+                        # file, so a neutral re-publish keeps everyone moving
+                        # on one consistent schedule.
+                        mh.write_bucket_time(sync_dir, b, host_id, 1.0)
+                    balancer.update(mh.read_bucket_times(sync_dir, b, n_hosts))
+            else:
+                mh.clear_bucket_times(sync_dir, host_id)
+            dyn_ratios = list(balancer.ratios)
+            pad_to = 0  # per-bucket chunk-aligned padding instead
+        elif pad_to:
             pad_to = host_slice(pad_to, n_hosts, host_id, v_num, shard_ratios)[1]
     else:
         if resume:
@@ -328,18 +377,27 @@ def run_bucketed(
     # for single-bucket runs, whose shape is known from the file geometry.
     # Both transports are warmed: N-free buckets ride the 2-bit path,
     # but the final bucket carries the reference's 'N' lane pads.
-    warm_rows = pad_to
-    if not warm_rows and done_buckets < db.bucket_count:
-        warm_rows = db.bucket_counts()[0][0]
-        if shard is not None:
-            warm_rows = host_slice(warm_rows, n_hosts, host_id, v_num, shard_ratios)[1]
-    if warm_rows and done_buckets < db.bucket_count:
+    warmed: set[int] = set()
+
+    def ensure_warm(rows: int) -> None:
+        """Warm-compile both transports at this batch shape (idempotent)."""
+        if not rows or rows in warmed:
+            return
+        warmed.add(rows)
         t0 = time.perf_counter()
         for fill in (0, 4):
-            dummy = np.full((warm_rows, db.length), fill, np.uint8)
+            dummy = np.full((rows, db.length), fill, np.uint8)
             for nq in sorted({qb.shape[0] for qb in q_buckets}):
                 engine.scores(queries[:nq], dummy).block_until_ready()
-        stats.compile_time = time.perf_counter() - t0
+        stats.compile_time += time.perf_counter() - t0
+
+    if not dynamic and done_buckets < db.bucket_count:
+        warm_rows = pad_to
+        if not warm_rows:
+            warm_rows = db.bucket_counts()[0][0]
+            if shard is not None:
+                warm_rows = host_slice(warm_rows, n_hosts, host_id, v_num, shard_ratios)[1]
+        ensure_warm(warm_rows)
 
     # Reader thread keeps the device fed (the reference's input_task thread).
     buckets: queue.Queue = queue.Queue(maxsize=config.prefetch)
@@ -393,7 +451,15 @@ def run_bucketed(
             continue  # completed before the interruption
         codes = bucket.codes
         if shard is not None:
-            start, count = host_slice(bucket.count, n_hosts, host_id, v_num, shard_ratios)
+            if dynamic and bucket_index > done_buckets:
+                # The previous bucket's measured times steer this bucket's
+                # split (adjust_device_ratio3 between buckets, cal_all.c:1332).
+                times = mh.read_bucket_times(sync_dir, bucket_index - 1, n_hosts)
+                dyn_ratios = balancer.update(times)
+            if dynamic:
+                start, count = host_slice(bucket.count, n_hosts, host_id, chunk, dyn_ratios)
+            else:
+                start, count = host_slice(bucket.count, n_hosts, host_id, v_num, shard_ratios)
             codes = codes[start : start + count]
             meta.block_counts.append(count)
             meta.extra_counts.append(bucket.extra_count if host_id == n_hosts - 1 else 0)
@@ -404,29 +470,51 @@ def run_bucketed(
         else:
             events.append(("bucket", [bucket.count], bucket.extra_count))
             stats.subject_count += bucket.count - bucket.extra_count
-        if codes.shape[0] == 0:
-            continue
         real = codes.shape[0]
-        if real < pad_to:
+        pad_this = pad_to
+        if dynamic:
+            # Chunk-aligned shape so re-splitting cycles through at most
+            # dynamic_grid compiled shapes; warm new ones outside the timed
+            # region (compile in the measurement would distort the balancer).
+            pad_this = -(-real // chunk) * chunk
+            ensure_warm(pad_this)
+            t_bucket = time.perf_counter()
+        if real == 0 and not dynamic:
+            continue
+        if real and real < pad_this:
             # Shape-pad rows are discarded before writing (unlike the
             # reference's extra_count 'N' pads inside bucket.codes), so use
             # code 0 and keep the bucket on the 2-bit transport when its
             # real rows are N-free.
-            pad = np.zeros((pad_to - real, codes.shape[1]), codes.dtype)
+            pad = np.zeros((pad_this - real, codes.shape[1]), codes.dtype)
             codes = np.concatenate([codes, pad])
-        # Host-side transport packing, once per bucket (reused across query
-        # buckets) — the analogue of the reference's pack phase, billed to
-        # mem_total_time like its *_handle_reads (cal_sse.c:469-487).
-        t0 = time.perf_counter()
-        transport, packed = pack.select_transport(codes)
-        stats.pack_time += time.perf_counter() - t0
-        for qb in q_buckets:
-            t_cal = time.perf_counter()
-            dev_scores = engine.scores_packed(qb, transport, packed, codes.shape[1])
-            stats.cal_time += time.perf_counter() - t_cal  # async dispatch
-            events.append(("scores", dev_scores, real, bucket_index))
-            n_pending += 1
-            drain(1)
+        if real:
+            # Host-side transport packing, once per bucket (reused across
+            # query buckets) — the analogue of the reference's pack phase,
+            # billed to mem_total_time like its *_handle_reads
+            # (cal_sse.c:469-487).
+            t0 = time.perf_counter()
+            transport, packed = pack.select_transport(codes)
+            stats.pack_time += time.perf_counter() - t0
+            for qb in q_buckets:
+                t_cal = time.perf_counter()
+                dev_scores = engine.scores_packed(qb, transport, packed, codes.shape[1])
+                stats.cal_time += time.perf_counter() - t_cal  # async dispatch
+                events.append(("scores", dev_scores, real, bucket_index))
+                n_pending += 1
+                drain(1)
+        if dynamic:
+            # Per-bucket barrier: the measured wall time (pack + compute +
+            # fetch + write) is this host's previous_device_times entry.
+            # Floored so a host with an empty slice can't report ~0 time and
+            # blow up the next ratio update.
+            drain(0)
+            if _test_sleep:
+                time.sleep(_test_sleep)  # test hook: artificially slow host
+            mh.write_bucket_time(
+                sync_dir, bucket_index, host_id,
+                max(time.perf_counter() - t_bucket, 1e-3),
+            )
 
     drain(0)
     while events:  # trailing bucket records (empty shard slices)

@@ -1,0 +1,163 @@
+"""Live dynamic load balancing (-D) and the concurrent multi-host path.
+
+The reference's ``cal_on_all_dynamic`` re-splits every subject bucket from
+measured per-device times (``original/BGSA_KNC/cal_all.c:772-1487``). Our
+host roles exchange per-bucket times through sync-dir files; these tests run
+the roles as *concurrent subprocesses* (they must be concurrent: each host
+blocks on its peers' published times every bucket, like the reference's
+per-bucket OpenMP join).
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+from bgsa_tpu import pipeline as pl_mod
+from bgsa_tpu.io import result as result_io
+from bgsa_tpu.io import seqfile
+from bgsa_tpu.parallel import multihost
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spawn_role(args, extra_env):
+    env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu", **extra_env}
+    return subprocess.Popen(
+        [sys.executable, "-m", "bgsa_tpu.cli", "align", *args],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+
+
+def _wait_ok(procs):
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, err.decode()[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+
+def test_dynamic_rebalances_and_merges_byte_equal(tmp_path, rng):
+    """One artificially slowed host: the split converges toward the timing
+    ratio mid-run, the merged output still byte-equals the single-host run,
+    and a truncated shard resumes byte-identically under the varying
+    schedule."""
+    Q, m, S, n = 4, 30, 4200, 40
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    bucket_size = 1024 * (n + 1)  # 5 buckets: 4 x 1024 + tail
+
+    # single-host reference output
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(
+        qp, sp, single,
+        config=pl_mod.PipelineConfig(backend="xla", bucket_size=bucket_size),
+    )
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single)
+
+    # two concurrent -D roles; host 1 sleeps 0.2 s per bucket
+    shards = [str(tmp_path / f"sh{h}.bin") for h in range(2)]
+    procs = [
+        _spawn_role(
+            ["-q", qp, "-d", sp, "-f", shards[h], "--host", f"{h}:2", "-D",
+             "--backend", "xla", "--bucket-size", str(bucket_size), "--quiet"],
+            {"BGSA_TEST_BUCKET_SLEEP": "0.2" if h == 1 else "0"},
+        )
+        for h in range(2)
+    ]
+    _wait_ok(procs)
+
+    metas = [multihost.ShardMeta.load(p + ".meta.json") for p in shards]
+    # bucket 0 split evenly; later buckets shifted toward the fast host
+    assert metas[0].block_counts[0] == metas[1].block_counts[0] == 512
+    assert metas[1].block_counts[-2] < metas[1].block_counts[0]
+    assert metas[0].block_counts[-2] > metas[0].block_counts[0]
+    for b in range(len(metas[0].block_counts)):
+        assert metas[0].block_counts[b] + metas[1].block_counts[b] > 0
+
+    # the published schedule converged toward the timing ratio
+    bal = multihost.DynamicBalancer(2)
+    for b in range(len(metas[0].block_counts) - 1):
+        bal.update(multihost.read_bucket_times(str(tmp_path), b, 2, timeout=0))
+    assert bal.ratios[1] < 0.3  # host 1 was ~20x slower
+
+    merged = str(tmp_path / "merged.bin")
+    multihost.merge_shards(merged, shards, metas)
+    conv_merged = str(tmp_path / "merged.txt")
+    result_io.convert_result(merged, conv_merged)
+    assert open(conv_merged).read() == open(conv_single).read()
+
+    # resume under the varying schedule: truncate host 0 to 2 buckets and
+    # re-run in-process; first-write-wins time files preserve the schedule,
+    # so the resumed shard is byte-identical
+    want = open(shards[0], "rb").read()
+    keep = sum(metas[0].block_counts[:2]) * Q * 2 + 50
+    part = str(tmp_path / "part.bin")
+    open(part, "wb").write(want[:keep])
+    shutil.copy(shards[0] + ".meta.json", part + ".meta.json")
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=bucket_size)
+    _, meta_r = pl_mod.run_alignment(
+        qp, sp, part, config=cfg, shard=(0, 2), resume=True,
+        dynamic=True, sync_dir=str(tmp_path),
+    )
+    assert open(part, "rb").read() == want
+    assert meta_r.block_counts == metas[0].block_counts
+
+
+def test_host_auto_concurrent_roles(tmp_path, rng):
+    """--host auto derives the role from the environment; N concurrent
+    subprocesses merge byte-equal to the single-host run (the
+    jax.distributed-launcher workflow)."""
+    Q, m, S, n = 3, 25, 900, 32
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(qp, sp, single, config=pl_mod.PipelineConfig(backend="xla"))
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single)
+
+    shards = [str(tmp_path / f"sh{h}.bin") for h in range(3)]
+    procs = [
+        _spawn_role(
+            ["-q", qp, "-d", sp, "-f", shards[h], "--host", "auto",
+             "--backend", "xla", "--quiet"],
+            {"BGSA_HOST_ID": str(h), "BGSA_NUM_HOSTS": "3"},
+        )
+        for h in range(3)
+    ]
+    _wait_ok(procs)
+
+    metas = [multihost.ShardMeta.load(p + ".meta.json") for p in shards]
+    merged = str(tmp_path / "merged.bin")
+    multihost.merge_shards(merged, shards, metas)
+    conv_merged = str(tmp_path / "merged.txt")
+    result_io.convert_result(merged, conv_merged)
+    assert open(conv_merged).read() == open(conv_single).read()
+    info = result_io.read_info(merged + ".info")
+    assert info.device_num == 3
+
+
+def test_dynamic_requires_host(tmp_path, rng):
+    from bgsa_tpu import cli
+
+    q = rng.integers(0, 4, size=(2, 20))
+    s = rng.integers(0, 4, size=(200, 20))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "o.bin"),
+                   "-D", "--quiet"])
+    assert rc == 1
