@@ -27,13 +27,14 @@ class BandedEngine:
 
     n_shards = 1  # banded runs shard across hosts, not local chips
 
-    def __init__(self, threshold: int, config: PipelineConfig):
+    def __init__(self, threshold: int, config: PipelineConfig, device=None):
         import jax
 
         self._jax = jax
         _enable_compilation_cache(jax)
         self.k = threshold
         self.config = config
+        self.device = device  # pin to one jax.Device (heterogeneous driver)
         backend = config.backend
         if backend == "auto":
             try:
@@ -76,6 +77,9 @@ class BandedEngine:
     def scores_packed(self, query_codes: np.ndarray, transport: str, packed, s_len: int):
         """Score against a transport-packed subject batch (pipeline hot path)."""
         step = self._step(query_codes.shape[1], s_len, transport)
+        if self.device is not None:
+            with self._jax.default_device(self.device):
+                return step(query_codes.astype(np.int32), packed)
         return step(query_codes.astype(np.int32), packed)
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):

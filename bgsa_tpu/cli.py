@@ -64,9 +64,14 @@ def align_main(argv=None) -> int:
     p.add_argument("-R", dest="ratio_file", default=None,
                    help="device/host ratio file (reference -R: one positive "
                         "float per host, whitespace-separated)")
+    p.add_argument("-t", dest="devices", default=None, metavar="SPEC",
+                   help="heterogeneous co-compute: '+'-joined jax platforms "
+                        "(e.g. tpu+cpu), one in-process device section per "
+                        "entry — the reference's -t MICSSE; combine with -R/-D")
     p.add_argument("-D", dest="dynamic", action="store_true",
                    help="dynamic load balancing (reference -D): re-split every "
-                        "bucket from the hosts' measured times; requires --host")
+                        "bucket from the measured device/host times; requires "
+                        "--host or -t")
     p.add_argument("--sync-dir", default=None, metavar="DIR",
                    help="shared directory for -D time exchange (default: the "
                         "result file's directory)")
@@ -156,25 +161,42 @@ def align_main(argv=None) -> int:
             print(f"error: --host {args.host}: need 0 <= I < N", file=sys.stderr)
             return 1
         shard = (host_id, n_hosts)
-    if args.dynamic and shard is None:
-        print("error: -D requires --host I:N (dynamic balancing re-splits the "
-              "host slices; single-role runs have nothing to balance)",
-              file=sys.stderr)
+    if args.devices and shard is not None:
+        print("error: -t and --host are mutually exclusive (in-process devices "
+              "vs multi-host roles)", file=sys.stderr)
+        return 1
+    if args.dynamic and shard is None and not args.devices:
+        print("error: -D requires --host I:N or -t SPEC (dynamic balancing "
+              "re-splits device/host slices; single-role runs have nothing "
+              "to balance)", file=sys.stderr)
         return 1
     if args.ratio_file:
-        if shard is None:
+        if shard is None and not args.devices:
             # Local shard_map splits evenly (homogeneous chips); ratios only
-            # steer the multi-host split. Failing loudly beats a silent no-op.
-            print("error: -R requires --host I:N (ratios steer the host split; "
-                  "local --shards devices are homogeneous and split evenly)",
-                  file=sys.stderr)
+            # steer the multi-host or multi-device split. Failing loudly
+            # beats a silent no-op.
+            print("error: -R requires --host I:N or -t SPEC (ratios steer the "
+                  "host/device split; local --shards devices are homogeneous "
+                  "and split evenly)", file=sys.stderr)
             return 1
         from .parallel.multihost import read_ratio_file
 
-        ratios = read_ratio_file(args.ratio_file, shard[1])
+        n_ratio = shard[1] if shard else len(args.devices.split("+"))
+        ratios = read_ratio_file(args.ratio_file, n_ratio)
 
     try:
-        if args.threshold is not None:
+        if args.devices:
+            from .parallel.hetero import hetero_engines, run_hetero
+
+            engines = hetero_engines(
+                scoring, mode, config, args.devices, threshold=args.threshold
+            )
+            stats, _ = run_hetero(
+                engines, args.query, args.database, args.result, config,
+                ratios=ratios, dynamic=args.dynamic,
+                write_dtype=np.int8 if args.threshold is not None else np.int16,
+            )
+        elif args.threshold is not None:
             from .banded_pipeline import run_banded
 
             stats = run_banded(

@@ -1,0 +1,217 @@
+"""In-process heterogeneous co-compute: N unequal devices share every bucket.
+
+TPU-native analogue of the reference's KNC ``-t MICSSE`` mode
+(``/root/reference/original/BGSA_KNC/cal_all.c:136-769`` static,
+``:772-1487`` dynamic): there, one process drives the host CPU plus N Xeon
+Phis, one OpenMP section per device, splitting each subject bucket by
+``device_compute_ratio`` (``dispatch_task``, ``global.c:373-431``) and
+re-measuring after every bucket in ``-D`` mode. Here, one process drives N
+jax Devices (e.g. the TPU chip plus the XLA CPU backend) with one worker
+thread per device; JAX's async dispatch plays the role of the LEO offload
+signals, and the per-device wall times feed the same bit-exact
+``DynamicBalancer``.
+
+Device 0 is the pinned-ratio device (the reference's CPU); results are
+written in device order per query bucket — the reference's multi-device
+``.info``/result layout, so ``convert`` output is identical to a
+single-device run.
+
+Works on homogeneous virtual devices too (tests run N CPU devices with an
+artificial slowdown); the split math is shared with the multi-host path
+(``multihost.split_counts``).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+from .. import pack
+from ..io import result as result_io
+from ..io import seqfile
+from ..stats import RunStats
+from .multihost import DynamicBalancer, split_counts
+
+
+def run_hetero(
+    engines,
+    query_path: str,
+    db_path: str,
+    result_path: str,
+    config,
+    *,
+    ratios=None,
+    dynamic: bool = False,
+    write_dtype=np.int16,
+    grid: int | None = None,
+):
+    """Bucketed run over N per-device engines; returns (stats, per-device times).
+
+    engines: one Engine/BandedEngine per device, each pinned via its
+      ``device=`` argument (or sharing one backend in tests).
+    ratios: initial split weights (reference ``-R`` / ``mic_cpu_ratio``);
+      even when None.
+    dynamic: re-split every bucket from measured per-device wall times
+      (the reference's ``-D``).
+    """
+    n_dev = len(engines)
+    stats = RunStats()
+    t_start = time.perf_counter()
+
+    v_num = config.v_num
+    t0 = time.perf_counter()
+    queries = seqfile.read_queries(query_path)
+    db = seqfile.DatabaseReader(db_path, config.bucket_size, v_num)
+    stats.read_time += time.perf_counter() - t0
+    stats.query_count, stats.query_len = queries.shape
+    stats.subject_len = db.length
+
+    q_buckets = [
+        queries[s : s + config.ref_bucket_count]
+        for s in range(0, len(queries), config.ref_bucket_count)
+    ]
+
+    # Same shape-quantization as the multi-host dynamic mode: slices align to
+    # chunk so at most `grid` distinct shapes compile per device.
+    grid = grid or config.dynamic_grid
+    chunk = v_num
+    if db.bucket_count > 1:
+        chunk = v_num * max(1, -(-db.seqs_per_bucket // (v_num * grid)))
+
+    balancer = DynamicBalancer(n_dev, initial_ratios=ratios)
+    cur_ratios = list(balancer.ratios)
+
+    writer = result_io.ResultWriter(
+        result_path, ref_count=len(queries), block_num=db.bucket_count,
+        device_num=n_dev, write_dtype=write_dtype,
+    )
+
+    warmed: list[set] = [set() for _ in range(n_dev)]
+
+    def ensure_warm(dev: int, rows: int) -> None:
+        if not rows or rows in warmed[dev]:
+            return
+        warmed[dev].add(rows)
+        t0 = time.perf_counter()
+        for fill in (0, 4):
+            dummy = np.full((rows, db.length), fill, np.uint8)
+            for nq in sorted({qb.shape[0] for qb in q_buckets}):
+                engines[dev].scores(queries[:nq], dummy).block_until_ready()
+        stats.compile_time += time.perf_counter() - t0
+
+    device_times = [0.0] * n_dev
+    slow_hooks = [getattr(e, "test_sleep", 0.0) for e in engines]
+
+    for bucket in db:
+        counts = split_counts(bucket.count, n_dev, chunk, cur_ratios)
+        starts = np.cumsum([0] + counts[:-1])
+        pads = [-(-c // chunk) * chunk for c in counts]
+        for d in range(n_dev):
+            ensure_warm(d, pads[d])
+
+        # One worker per device — the reference's `omp parallel
+        # num_threads(devices)` section (cal_all.c:564-606). Each worker
+        # packs its slice, dispatches every query bucket, and blocks on the
+        # fetch; results land in a (device, q_bucket) grid for ordered
+        # writing afterwards.
+        results: list[list] = [[None] * len(q_buckets) for _ in range(n_dev)]
+        times = [1e-3] * n_dev
+        errs: list = [None] * n_dev
+
+        def worker(d: int):
+            try:
+                t0 = time.perf_counter()
+                cnt = counts[d]
+                if cnt:
+                    codes = bucket.codes[starts[d] : starts[d] + cnt]
+                    if cnt < pads[d]:
+                        codes = np.concatenate(
+                            [codes, np.zeros((pads[d] - cnt, codes.shape[1]),
+                                             codes.dtype)]
+                        )
+                    transport, packed = pack.select_transport(codes)
+                    devs = [
+                        engines[d].scores_packed(qb, transport, packed, codes.shape[1])
+                        for qb in q_buckets
+                    ]
+                    for i, dv in enumerate(devs):
+                        results[d][i] = np.asarray(dv)[:, :cnt]
+                if slow_hooks[d]:
+                    time.sleep(slow_hooks[d])  # test hook
+                times[d] = max(time.perf_counter() - t0, 1e-3)
+            except BaseException as e:  # propagate to the main thread
+                errs[d] = e
+
+        threads = [threading.Thread(target=worker, args=(d,)) for d in range(n_dev)]
+        t_cal = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats.cal_time += time.perf_counter() - t_cal
+        for e in errs:
+            if e is not None:
+                raise e
+        device_times = [a + b for a, b in zip(device_times, times)]
+
+        writer.start_bucket(counts, bucket.extra_count)
+        t0 = time.perf_counter()
+        for i in range(len(q_buckets)):
+            for d in range(n_dev):
+                if results[d][i] is not None:
+                    writer.write_scores(results[d][i])
+        stats.write_time += time.perf_counter() - t0
+        stats.subject_count += bucket.count - bucket.extra_count
+        # The reference's use_times row collapses to max over devices (the
+        # bucket is done when the slowest device is).
+        stats.bucket_cal_times.append(max(times))
+
+        if dynamic:
+            cur_ratios = balancer.update(times)
+
+    writer.close()
+    stats.total_time = time.perf_counter() - t_start
+    return stats, device_times
+
+
+def hetero_engines(scoring, mode, config, spec: str, threshold: int | None = None):
+    """Build one pinned engine per device from a spec like ``"tpu+cpu"``.
+
+    The first platform is device 0 (ratio pinned to 1, the reference's CPU
+    slot). Requires both platforms registered (e.g. ``JAX_PLATFORMS=tpu,cpu``).
+    A platform may repeat (``"cpu+cpu"``) to use multiple devices of one kind.
+    With ``threshold`` set, builds banded engines instead.
+    """
+    import dataclasses
+
+    import jax
+
+    from ..banded_pipeline import BandedEngine
+    from ..pipeline import Engine
+    from ..schemes import normalize
+
+    scheme = None if threshold is not None else normalize(scoring, mode)
+    used: dict[str, int] = {}
+    engines = []
+    for part in spec.split("+"):
+        name = part.strip().lower()
+        try:
+            devs = jax.devices(name)
+        except RuntimeError as e:
+            raise ValueError(
+                f"device spec {spec!r}: platform {name!r} is not registered "
+                f"(set JAX_PLATFORMS to include it): {e}"
+            ) from None
+        idx = used.get(name, 0)
+        if idx >= len(devs):
+            raise ValueError(f"device spec {spec!r}: only {len(devs)} {name} device(s)")
+        used[name] = idx + 1
+        backend = "pallas" if name in ("tpu", "axon") else "xla"
+        cfg = dataclasses.replace(config, backend=backend, local_shards=1)
+        if threshold is not None:
+            engines.append(BandedEngine(threshold, cfg, device=devs[idx]))
+        else:
+            engines.append(Engine(scheme, cfg, device=devs[idx]))
+    return engines

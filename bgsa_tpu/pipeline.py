@@ -77,11 +77,18 @@ class PipelineConfig:
 
 
 class Engine:
-    """Compiled scoring step for one normalized scheme."""
+    """Compiled scoring step for one normalized scheme.
 
-    def __init__(self, scheme: NormalizedScheme, config: PipelineConfig):
+    ``device`` pins every computation to one jax.Device — the heterogeneous
+    driver (parallel.hetero) runs one Engine per device, the analogue of the
+    reference's per-device offload sections (cal_all.c:564-606).
+    """
+
+    def __init__(self, scheme: NormalizedScheme, config: PipelineConfig,
+                 device=None):
         self.scheme = scheme
         self.config = config
+        self.device = device
         import jax
 
         self._jax = jax
@@ -204,6 +211,9 @@ class Engine:
         bucket (the reference packs once per bucket too, in its input thread).
         """
         step = self._step(query_codes.shape[1], s_len, transport)
+        if self.device is not None:
+            with self._jax.default_device(self.device):
+                return step(query_codes.astype(np.int32), packed)
         return step(query_codes.astype(np.int32), packed)
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):

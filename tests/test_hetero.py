@@ -1,0 +1,111 @@
+"""In-process heterogeneous co-compute (the reference's -t MICSSE mode):
+N unequal devices share every bucket, device 0 ratio-pinned, optional
+dynamic re-splitting — parallel/hetero.py vs cal_all.c:136-1487."""
+
+import jax
+import numpy as np
+import pytest
+
+from bgsa_tpu import pipeline as pl_mod
+from bgsa_tpu.io import result as result_io
+from bgsa_tpu.io import seqfile
+from bgsa_tpu.parallel.hetero import hetero_engines, run_hetero
+from bgsa_tpu.schemes import Mode, Scoring, normalize
+
+
+def _dataset(tmp_path, rng, Q=4, m=30, S=2100, n=40):
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    return qp, sp, n
+
+
+def test_hetero_static_matches_single(tmp_path, rng):
+    qp, sp, n = _dataset(tmp_path, rng)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=512 * (n + 1))
+
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(qp, sp, single, config=cfg)
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single)
+
+    scheme = normalize(Scoring(0, -1, -1), Mode.GLOBAL)
+    devs = jax.devices()
+    engines = [pl_mod.Engine(scheme, cfg, device=devs[i % len(devs)]) for i in range(2)]
+    het = str(tmp_path / "het.bin")
+    stats, times = run_hetero(engines, qp, sp, het, cfg, ratios=[1.0, 3.0])
+    assert len(times) == 2 and all(t > 0 for t in times)
+
+    info = result_io.read_info(het + ".info")
+    assert info.device_num == 2
+    # ratio-weighted split, chunk-aligned
+    assert info.device_read_counts[0][0] < info.device_read_counts[0][1]
+    conv_het = str(tmp_path / "het.txt")
+    result_io.convert_result(het, conv_het)
+    assert open(conv_het).read() == open(conv_single).read()
+
+
+def test_hetero_dynamic_rebalances(tmp_path, rng):
+    """Device 1 artificially slowed: later buckets shift subjects to device
+    0, output still identical to the single-device run."""
+    qp, sp, n = _dataset(tmp_path, rng, S=4200)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=1024 * (n + 1))
+
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(qp, sp, single, config=cfg)
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single)
+
+    scheme = normalize(Scoring(0, -1, -1), Mode.GLOBAL)
+    devs = jax.devices()
+    engines = [pl_mod.Engine(scheme, cfg, device=devs[i % len(devs)]) for i in range(2)]
+    engines[1].test_sleep = 0.15  # hetero driver's per-bucket slow hook
+    het = str(tmp_path / "het.bin")
+    stats, times = run_hetero(engines, qp, sp, het, cfg, dynamic=True)
+    assert times[1] > times[0]
+
+    info = result_io.read_info(het + ".info")
+    counts = info.device_read_counts
+    assert counts[0][0] == counts[0][1] == 512  # bucket 0 even
+    assert counts[-2][1] < counts[0][1]  # slow device shed load
+    assert counts[-2][0] > counts[0][0]
+    conv_het = str(tmp_path / "het.txt")
+    result_io.convert_result(het, conv_het)
+    assert open(conv_het).read() == open(conv_single).read()
+
+
+def test_hetero_banded_and_cli(tmp_path, rng):
+    """-t cpu+cpu through the CLI, banded family, dynamic."""
+    from bgsa_tpu import cli
+    from bgsa_tpu.banded_pipeline import run_banded
+
+    Q, m, S, n = 3, 40, 1200, 44
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    s[:100, :m] = q[0]
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=256 * (n + 1))
+
+    single = str(tmp_path / "single.bin")
+    run_banded(qp, sp, single, 6, cfg)
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single, write_dtype=np.int8)
+
+    het = str(tmp_path / "het.bin")
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", het, "-k", "6",
+                   "-t", "cpu+cpu", "-D", "--backend", "xla",
+                   "--bucket-size", str(256 * (n + 1)), "--quiet"])
+    assert rc == 0
+    conv_het = str(tmp_path / "het.txt")
+    result_io.convert_result(het, conv_het, write_dtype=np.int8)
+    assert open(conv_het).read() == open(conv_single).read()
+
+
+def test_hetero_rejects_unknown_platform(tmp_path, rng):
+    cfg = pl_mod.PipelineConfig(backend="xla")
+    with pytest.raises(ValueError, match="not registered|device"):
+        hetero_engines(Scoring(0, -1, -1), Mode.GLOBAL, cfg, "tpu+nope")
