@@ -64,7 +64,10 @@ class BandedEngine:
                 if s_len >= q_len:  # fast path: funnel-shift Eq stream
                     stream = pack.pack_banded_stream_jax(scodes, k, q_len)
                     s = banded_ops.banded_stream(stream, qcodes, **kw)
-                else:  # shorter subjects: Peq-carry kernel
+                elif 2 * k <= 63:  # shorter subjects: dual-stream funnel
+                    streams = pack.pack_banded_streams_jax(scodes, k, q_len)
+                    s = banded_ops.banded_stream_dual(streams, qcodes, **kw)
+                else:  # huge-k corner: preload exceeds the 64-bit window
                     args = pack.pack_banded_jax(scodes, k, q_len)
                     s = banded_ops.banded(*args, qcodes, **kw)
             else:

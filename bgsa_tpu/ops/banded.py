@@ -212,34 +212,11 @@ def _kernel(q_ref, chk_ref, init_lo_ref, init_hi_ref, inj_ref, out_ref, *,
     out_ref[0] = _epilogue(state, h=h)
 
 
-def _stream_column(t, state, c, stream_ref, *, k, m, band_down, max_err, chk):
-    """One query column, Eq window loaded from the packed bit-stream ref
-    (see pack.pack_banded_stream_jax) with a funnel shift — replaces the
-    loop-carried Peq planes (their per-column shift + inject + 5-way select
-    chain was ~60% of the column's vector ops).
-
-    Window bits above band_down are masked off: in the stream view they hold
-    *future* injections, which the reference's register (inject-at-band_down,
-    then shift right) cannot contain yet. Requires s_len >= q_len (h >= k) so
-    the preload also never exceeds the band — banded_stream enforces it.
-    """
+def _band_update(t, state, eq_lo, eq_hi, *, k, max_err, chk):
+    """Myers band recurrence on a loaded 64-bit Eq window (shared by the
+    single- and dual-stream kernels)."""
     vplo, vphi, vnlo, vnhi, err, dead = state
     one = jnp.uint32(1)
-
-    w = t // 32
-    b = (t % 32).astype(jnp.uint32)
-    b0 = stream_ref[c, w]
-    b1 = stream_ref[c, w + 1]
-    # (x << (32 - b)) written as two static-bounded shifts so b == 0 yields 0.
-    eq_lo = (b0 >> b) | ((b1 << (jnp.uint32(31) - b)) << 1)
-    if band_down < 32:
-        eq_lo = eq_lo & jnp.uint32((1 << (band_down + 1)) - 1)
-        eq_hi = jnp.zeros_like(eq_lo)
-    else:
-        b2 = stream_ref[c, w + 2]
-        eq_hi = (b1 >> b) | ((b2 << (jnp.uint32(31) - b)) << 1)
-        if band_down < 63:
-            eq_hi = eq_hi & jnp.uint32((1 << (band_down - 31)) - 1)
 
     xlo, xhi = eq_lo | vnlo, eq_hi | vnhi
     tlo, thi = xlo & vplo, xhi & vphi
@@ -258,25 +235,128 @@ def _stream_column(t, state, c, stream_ref, *, k, m, band_down, max_err, chk):
     return vplo, vphi, vnlo, vnhi, err, dead
 
 
-def _stream_kernel(q_ref, chk_ref, stream_ref, out_ref, *, q_len, s_len, k, unroll):
+def _stream_column(t, state, c, load, *, k, m, band_down, max_err, chk):
+    """One query column, Eq window loaded from the packed bit-stream via
+    ``load(c, w)`` with a funnel shift — replaces the loop-carried Peq planes
+    (their per-column shift + inject + 5-way select chain was ~60% of the
+    column's vector ops).
+
+    Window bits above band_down are masked off: in the stream view they hold
+    *future* injections, which the reference's register (inject-at-band_down,
+    then shift right) cannot contain yet. Valid when no preload content can
+    appear above the band at column t — i.e. h >= k (banded_stream), or
+    t > 2k in the dual-stream kernel (B plane only).
+    """
+    w = t // 32
+    b = (t % 32).astype(jnp.uint32)
+    b0 = load(c, w)
+    b1 = load(c, w + 1)
+    # (x << (32 - b)) written as two static-bounded shifts so b == 0 yields 0.
+    eq_lo = (b0 >> b) | ((b1 << (jnp.uint32(31) - b)) << 1)
+    if band_down < 32:
+        eq_lo = eq_lo & jnp.uint32((1 << (band_down + 1)) - 1)
+        eq_hi = jnp.zeros_like(eq_lo)
+    else:
+        b2 = load(c, w + 2)
+        eq_hi = (b1 >> b) | ((b2 << (jnp.uint32(31) - b)) << 1)
+        if band_down < 63:
+            eq_hi = eq_hi & jnp.uint32((1 << (band_down - 31)) - 1)
+    return _band_update(t, state, eq_lo, eq_hi, k=k, max_err=max_err, chk=chk)
+
+
+def _stream2_column(t, state, c, load_a, load_b, *, k, m, band_down, max_err, chk):
+    """One query column for ``s_len < q_len`` (h < k): the window combines
+    two funnel-loaded streams (pack.pack_banded_streams_jax) —
+
+        register(t, j) = A[t + j] | (B[t + j] & (j <= band_down))
+
+    A (preload) is present at every height from column 0 exactly like the
+    reference's pre-shifted word 0; B (injections) only becomes real once the
+    column's injection has happened, i.e. at heights <= band_down. A is
+    empty beyond stream position 2k, so the dual load is only needed for
+    columns t <= 2k — the kernel switches to _stream_column(B) after.
+    """
+    w = t // 32
+    b = (t % 32).astype(jnp.uint32)
+
+    def funnel(p0, p1):
+        return (p0 >> b) | ((p1 << (jnp.uint32(31) - b)) << 1)
+
+    a0 = load_a(c, w)
+    a1 = load_a(c, w + 1)
+    eq_lo = funnel(a0, a1)
+    if 2 * k >= 32:  # preload can sit above bit 31 (heights up to 2k)
+        eq_hi = funnel(a1, load_a(c, w + 2))
+    else:
+        eq_hi = jnp.zeros_like(eq_lo)
+    i0 = load_b(c, w)
+    i1 = load_b(c, w + 1)
+    blo = funnel(i0, i1)
+    if band_down < 32:
+        eq_lo = eq_lo | (blo & jnp.uint32((1 << (band_down + 1)) - 1))
+    else:
+        eq_lo = eq_lo | blo
+        bhi = funnel(i1, load_b(c, w + 2))
+        if band_down < 63:
+            bhi = bhi & jnp.uint32((1 << (band_down - 31)) - 1)
+        eq_hi = eq_hi | bhi
+    return _band_update(t, state, eq_lo, eq_hi, k=k, max_err=max_err, chk=chk)
+
+
+def _stream_kernel(q_ref, chk_ref, stream_ref, out_ref, *, q_len, s_len, k, unroll,
+                   dual: bool = False):
     h, band_down, max_err = _geometry(q_len, s_len, k)
-    R, L = stream_ref.shape[2], stream_ref.shape[3]
+    R, L = stream_ref.shape[-2], stream_ref.shape[-1]
     tile = (R, L)
+    kw = dict(k=k, m=q_len, band_down=band_down, max_err=max_err)
+
+    if dual:
+        load_a = lambda c, w: stream_ref[0, c, w]  # noqa: E731
+        load_b = lambda c, w: stream_ref[1, c, w]  # noqa: E731
+
+        def column2(t, state):
+            return _stream2_column(
+                t, state, q_ref[0, 0, t], load_a, load_b,
+                chk=chk_ref[0, 0, t], **kw,
+            )
+    else:
+        load_b = lambda c, w: stream_ref[c, w]  # noqa: E731
 
     def column(t, state):
         return _stream_column(
-            t, state, q_ref[0, 0, t], stream_ref, k=k, m=q_len,
-            band_down=band_down, max_err=max_err, chk=chk_ref[0, 0, t],
+            t, state, q_ref[0, 0, t], load_b, chk=chk_ref[0, 0, t], **kw
         )
 
     zeros = jnp.zeros(tile, jnp.uint32)
     state = (zeros, zeros, zeros, zeros,
              jnp.full(tile, k, jnp.int32), jnp.zeros(tile, jnp.int32))
 
-    # Whole-block early exit over unrolled batches (see _kernel).
     BATCH_COLS = 32
     n_batches = q_len // BATCH_COLS
 
+    # Dual head: the A (preload) stream is empty past position 2k, so only
+    # columns t <= 2k need the dual load; the rest runs the cheaper B-only
+    # column. The head skips the whole-block early exit (the reference's
+    # first checkpoint is at column min(64, q_len) anyway; per-lane dead
+    # latching still happens inside the column).
+    start_batch = 0
+    if dual:
+        start_batch = min(-(-(2 * k + 1) // BATCH_COLS), n_batches)
+        head_end = min(max(start_batch * BATCH_COLS, 2 * k + 1), q_len)
+
+        def head_inner(j, st):
+            for u in range(unroll):
+                st = column2(j * unroll + u, st)
+            return st
+
+        state = lax.fori_loop(0, head_end // unroll, head_inner, state)
+        for t in range((head_end // unroll) * unroll, head_end):
+            state = column2(t, state)
+        # head_end exceeds start_batch*32 only when start_batch was capped
+        # at n_batches; the while_loop is then empty and the static tail
+        # below resumes at head_end.
+
+    # Whole-block early exit over unrolled batches (see _kernel).
     def batch_cond(carry):
         i, state = carry
         return jnp.logical_and(i < n_batches, jnp.logical_not(jnp.all(state[5] > 0)))
@@ -293,8 +373,11 @@ def _stream_kernel(q_ref, chk_ref, stream_ref, out_ref, *, q_len, s_len, k, unro
         state = lax.fori_loop(0, BATCH_COLS // unroll, inner, state)
         return i + 1, state
 
-    _, state = lax.while_loop(batch_cond, batch_body, (jnp.int32(0), state))
-    state = lax.fori_loop(n_batches * BATCH_COLS, q_len, column, state)
+    _, state = lax.while_loop(batch_cond, batch_body, (jnp.int32(start_batch), state))
+    tail_start = n_batches * BATCH_COLS
+    if dual:
+        tail_start = max(tail_start, head_end)
+    state = lax.fori_loop(tail_start, q_len, column, state)
     # _epilogue expects the 8-tuple layout; prepend dummy plane slots.
     out_ref[0] = _epilogue((None, None) + state, h=h)
 
@@ -353,6 +436,67 @@ def banded_stream(stream, queries, *, q_len: int, s_len: int, k: int,
         ),
         interpret=interpret,
     )(jnp.asarray(queries, jnp.int32)[:, None, :], jnp.asarray(chk), stream4)
+    return out[:, :rows].reshape(Q, S)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_len", "s_len", "k", "rows_per_block", "unroll", "interpret")
+)
+def banded_stream_dual(streams, queries, *, q_len: int, s_len: int, k: int,
+                       rows_per_block: int = 32, unroll: int | None = None,
+                       interpret: bool = False):
+    """Pallas TPU backend for ``s_len < q_len`` on dual Eq bit-streams.
+
+    streams: (2, 5, W, S) uint32 from pack.pack_banded_streams_jax; S % 128
+    == 0. Returns (Q, S) int32 scores (127 = early exit), bit-identical to
+    banded()/banded_xla(). Covers h < k, where the single flat stream is
+    unsound (early injections collide with preload positions); for
+    s_len >= q_len use banded_stream (one fewer funnel load per column).
+    """
+    two, C, W, S = streams.shape
+    Q, m = queries.shape
+    if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
+        unroll = 1 if interpret else 4
+    _geometry(q_len, s_len, k)  # validate band
+    if 2 * k > 63:
+        # The preload spans bits k+1..2k; past bit 63 it exceeds the 64-bit
+        # window (the reference's register drops those bits too — UB in its
+        # C: shift count >= 64). The engine falls back to the Peq-carry
+        # kernel for this corner.
+        raise ValueError(
+            "banded_stream_dual requires 2k <= 63 (preload must fit the "
+            "64-bit window); use banded()/banded_xla()"
+        )
+    if S % LANES:
+        raise ValueError(f"subject count {S} must be a multiple of {LANES}")
+    rows = S // LANES
+    r, rows_p = blockutil.choose_rows(rows, rows_per_block)
+    nb = rows_p // r
+
+    chk = np.zeros((1, 1, m), np.int32)
+    chk[0, 0] = _chk_array(q_len, s_len, k)
+    streams4 = blockutil.pad_rows(streams.reshape(2, C, W, rows, LANES), 3, rows_p)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _stream_kernel, q_len=q_len, s_len=s_len, k=k, dual=True,
+            unroll=max(u for u in (1, 2, 4, 8, 16, 32)
+                       if u <= max(1, min(unroll, 32))),
+        ),
+        grid=(nb, Q),
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda b, q: (q, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m), lambda b, q: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, C, W, r, LANES), lambda b, q: (0, 0, 0, b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r, LANES), lambda b, q: (q, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Q, rows_p, LANES), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=50 * Q * m * S, bytes_accessed=streams.size * 4 + Q * S * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(queries, jnp.int32)[:, None, :], jnp.asarray(chk), streams4)
     return out[:, :rows].reshape(Q, S)
 
 

@@ -43,29 +43,52 @@ def _bits_num(p: BitpalParams) -> int:
 
 def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
     """One query column over all words. state_w: list per word of lists of
-    nbits plane arrays. Returns new state (same structure)."""
+    nbits plane arrays. Returns new state (same structure).
+
+    Implements the generated network's math
+    (``original/BGSA_AVX512/align_core.c:19-485``) with the op-count surgery
+    documented in docs/PERF.md:
+
+    * only the low classes phase A consumes ([minv, minv + maxv-midv-1]) are
+      decoded through the AND trie; the full low-class union needed by the
+      adjustment comes from a plane comparator (stored == 0 or stored >=
+      2^n - (midv-minv)) instead of OR-ing per-class decodes;
+    * the top plane of the DV encoding is identically zero (maxv - minv <
+      2^(nbits-1) by construction), and the clamp zeroes the top sum plane,
+      so the generated code's plane-4 adder/clamp/shift ops are dead and
+      skipped here;
+    * the last word's outgoing cross-word carries (overflow, prevbit,
+      rowbit) are never consumed and are not computed.
+    """
     W = len(matches_w)
     minv, midv, maxv = p.minv, p.midv, p.maxv
     CM = jnp.uint32((1 << WORD_BITS) - 1)
     NEXT_HIGH = jnp.uint32(1 << (WORD_BITS - 1))  # bit 30 (next_high_one)
     zeros = jnp.zeros_like(matches_w[0])
+    top_plane = nbits - 1
 
     overflow = {}
     prevbit = {v: zeros for v in range(midv + 1, maxv + 1)}
-    rowbit = [zeros] * nbits  # cross-word carries of the one-row shift
+    rowbit = [zeros] * top_plane  # cross-word carries of the one-row shift
     out = []
 
     for w in range(W):
+        last_word = w == W - 1
         dhbit = list(state_w[w])
-        inv = [~b for b in dhbit]
         matches = matches_w[w]
         not_matches = ~matches
 
-        # Decode class indicators for v in [minv, midv]: value v is stored as
-        # two's complement of -(v - minv) across the planes. Prefixes over
+        # Decode class indicators for the phase-A classes: value v is stored
+        # as two's complement of -(v - minv) across the planes. Prefixes over
         # the high planes are shared across patterns (memoized AND trie) —
-        # the naive per-class 5-term chains cost ~2x the ops.
+        # the naive per-class chains cost ~2x the ops.
         prefix_cache: dict = {}
+        inv_cache: dict = {}
+
+        def inv(i):
+            if i not in inv_cache:
+                inv_cache[i] = ~dhbit[i]
+            return inv_cache[i]
 
         def chain(bits: tuple):
             """Cumulative AND over planes nbits-1 .. nbits-len(bits); bits is
@@ -74,18 +97,31 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
             if bits in prefix_cache:
                 return prefix_cache[bits]
             plane = nbits - len(bits)
-            term = dhbit[plane] if bits[-1] else inv[plane]
+            term = dhbit[plane] if bits[-1] else inv(plane)
             if len(bits) > 1:
                 term = chain(bits[:-1]) & term
             prefix_cache[bits] = term
             return term
 
         dh = {}
-        for v in range(minv, midv + 1):
+        for v in range(minv, minv + (maxv - midv)):
             pattern = (-(v - minv)) & ((1 << nbits) - 1)
             bits = tuple((pattern >> i) & 1 for i in reversed(range(nbits)))
             dh[v] = chain(bits)
         dh[minv] = dh[minv] & CM
+
+        # Union of all low classes [minv, midv]: stored == 0 (= dh[minv]'s
+        # raw pattern) or stored >= 2^nbits - (midv - minv). The >= is a
+        # plane comparator built lsb-first: ge_i = b_i & ge (k-bit 1) or
+        # b_i | ge (k-bit 0), with the empty suffix counting as >= (None).
+        thresh = (1 << nbits) - (midv - minv)
+        ge = None
+        for i in range(nbits):
+            if (thresh >> i) & 1:
+                ge = dhbit[i] if ge is None else dhbit[i] & ge
+            elif ge is not None:
+                ge = dhbit[i] | ge
+        lo_mid = (chain(tuple([0] * nbits)) | ge) & not_matches
 
         # Phase A: horizontal-delta classes (midv, maxv], same propagation
         # network as the non-packed kernel.
@@ -93,7 +129,8 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
         init_max = dh[minv] & matches
         s = init_max + dh[minv] + overflow.get(0, zeros)
         dv_shift[maxv] = (s ^ dh[minv] ^ init_max) & CM
-        overflow[0] = s >> WORD_BITS
+        if not last_word:
+            overflow[0] = s >> WORD_BITS
         remain = dh[minv] ^ init_max
         dv_max_or_match = dv_shift[maxv] | matches
 
@@ -104,11 +141,13 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
             for x in range(1, maxv - i):
                 init_i = init_i | (dh[cnt - x] & dv_shift[maxv - x])
             init_val = (init_i << 1) | prevbit[i]
-            prevbit[i] = init_val >> WORD_BITS
+            if not last_word:
+                prevbit[i] = init_val >> WORD_BITS
             init_val = init_val & CM
             s = init_val + remain + overflow.get(oi, zeros)
             dv_shift[i] = (s ^ remain) & not_matches
-            overflow[oi] = s >> WORD_BITS
+            if not last_word:
+                overflow[oi] = s >> WORD_BITS
             oi += 1
 
         if maxv > midv + 1:
@@ -127,8 +166,10 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
             return dv_shift[v]
 
         # Encode the horizontal classes into bit planes (mapped = v - minv).
+        # The top plane is identically zero: mapped <= maxv - minv <
+        # 2^(nbits-1) by _bits_num's construction.
         dv_bit = []
-        for i in range(nbits):
+        for i in range(top_plane):
             acc = None
             for v in range(midv, maxv + 1):
                 if ((v - minv) >> i) & 1:
@@ -136,30 +177,30 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
                     acc = t if acc is None else acc | t
             dv_bit.append(acc if acc is not None else zeros)
 
-        def plane_add(a, b):
-            carry = a[0] & b[0]
-            sums = [a[0] ^ b[0]]
-            for i in range(1, nbits):
-                x = a[i] ^ b[i]
-                sums.append(x ^ carry)
-                carry = (a[i] & b[i]) | (x & carry)
-            return sums
+        # mapped(DHin) + mapped(DV): bitwise ripple adder over planes; the
+        # zero top operand reduces the top plane to dhbit[top] ^ carry, and
+        # the final carry-out is never used.
+        carry = dhbit[0] & dv_bit[0]
+        sumbit = [dhbit[0] ^ dv_bit[0]]
+        for i in range(1, top_plane):
+            x = dhbit[i] ^ dv_bit[i]
+            sumbit.append(x ^ carry)
+            carry = (dhbit[i] & dv_bit[i]) | (x & carry)
+        sum_top = dhbit[top_plane] ^ carry
 
-        # mapped(DVprev) + mapped(H), clamp where the top bit sets, then
-        # shift one row up (cross-word rowbit carries).
-        sumbit = plane_add(dhbit, dv_bit)
-        comp = ~sumbit[nbits - 1]
-        sumbit = [sb & comp for sb in sumbit]
-        new_rowbit = [(sb & NEXT_HIGH) >> (WORD_BITS - 1) for sb in sumbit]
-        sumbit = [(sb << 1) | rb for sb, rb in zip(sumbit, rowbit)]
-        rowbit = new_rowbit
+        # Clamp rows whose sum overflowed (top bit set -> whole row zeroed;
+        # the clamped top plane itself is identically zero afterwards), then
+        # shift one row up with cross-word rowbit carries.
+        comp = ~sum_top
+        shifted = []
+        for i in range(top_plane):
+            sb = sumbit[i] & comp
+            shifted.append((sb << 1) | rowbit[i])
+            if not last_word:
+                rowbit[i] = (sb & NEXT_HIGH) >> (WORD_BITS - 1)
 
         # Subtract mapped(H) at the same row: add its negation, built from
         # the mark patterns (the generator's dhbit adjustment).
-        lo_mid = None
-        for v in range(minv, midv + 1):
-            lo_mid = dh[v] if lo_mid is None else lo_mid | dh[v]
-        lo_mid = lo_mid & not_matches
         comp_lo_mid = ~lo_mid
         mark1 = midv - minv - 1
         mark2 = (maxv - minv) - 1
@@ -176,9 +217,16 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
                 b = b | matches
             adj.append(b)
 
-        sumbit = plane_add(adj, sumbit)
-        top = sumbit[nbits - 1]
-        out.append([sb & top for sb in sumbit])
+        # adj + shifted sum (shifted top plane is zero), masked by the new
+        # top bit.
+        carry = adj[0] & shifted[0]
+        sumbit = [adj[0] ^ shifted[0]]
+        for i in range(1, top_plane):
+            x = adj[i] ^ shifted[i]
+            sumbit.append(x ^ carry)
+            carry = (adj[i] & shifted[i]) | (x & carry)
+        top = adj[top_plane] ^ carry
+        out.append([sb & top for sb in sumbit] + [top])
 
     return out
 

@@ -97,7 +97,7 @@ class TestBandedStream:
                             q_len=70, s_len=64, k=8, interpret=True)
 
     def test_engine_fallback_subject_shorter(self, rng, tmp_path):
-        # pipeline-level: shorter subjects route to the Peq-carry kernel
+        # pipeline-level: shorter subjects route to the dual-stream kernel
         from bgsa_tpu.banded_pipeline import BandedEngine
         from bgsa_tpu.banded_ref import banded_scores
         from bgsa_tpu.pipeline import PipelineConfig
@@ -121,3 +121,78 @@ class TestBandedStream:
 
     def test_tiny_threshold(self, rng):
         self._check(rng, 2, 150, 256, 150, 1)
+
+
+class TestBandedStreamDual:
+    """banded_stream_dual (two funnel streams) covers s_len < q_len (h < k):
+    window = A | (B & band mask); parity vs the behavioral reference."""
+
+    def _check(self, rng, Q, m, S, n, k, unroll=None):
+        from bgsa_tpu import pack
+        from bgsa_tpu.banded_ref import banded_scores
+        from bgsa_tpu.ops import banded as b
+
+        q = rng.integers(0, 4, size=(Q, m)).astype(np.int32)
+        s = rng.integers(0, 4, size=(S, n))
+        s[: S // 3, : min(m, n)] = q[0][: min(m, n)]  # some near-hits
+        streams = np.asarray(pack.pack_banded_streams_jax(s, k, m))
+        kw = dict(q_len=m, s_len=n, k=k, interpret=True)
+        if unroll:
+            kw["unroll"] = unroll
+        got = np.asarray(b.banded_stream_dual(streams, q, **kw))
+        want = np.stack([banded_scores(qi, s, k) for qi in q])
+        np.testing.assert_array_equal(got, want)
+
+    def test_subject_shorter(self, rng):
+        self._check(rng, 2, 70, 256, 64, 8)  # h = 2 < k
+
+    def test_h_zero(self, rng):
+        self._check(rng, 2, 72, 256, 64, 8)  # h = 0: tightest band
+
+    def test_just_below_equal(self, rng):
+        self._check(rng, 2, 65, 256, 64, 6)  # h = 5
+
+    def test_wide_band_hi_word(self, rng):
+        # band_down >= 32 exercises the B-hi funnel; 2k >= 32 the A-hi one
+        self._check(rng, 2, 110, 256, 100, 24)  # h = 14, band_down = 38
+
+    def test_small_k_small_band(self, rng):
+        self._check(rng, 2, 66, 256, 64, 3)  # h = 1, 2k < 32
+
+    def test_unrolled(self, rng):
+        self._check(rng, 2, 70, 256, 64, 8, unroll=4)
+
+    def test_matches_equal_length_stream(self, rng):
+        # h == k boundary: both kernels accept it; outputs must agree
+        from bgsa_tpu import pack
+        from bgsa_tpu.ops import banded as b
+
+        m = n = 64
+        k = 6
+        q = rng.integers(0, 4, size=(2, m)).astype(np.int32)
+        s = rng.integers(0, 4, size=(256, n))
+        one = np.asarray(b.banded_stream(
+            np.asarray(pack.pack_banded_stream_jax(s, k, m)), q,
+            q_len=m, s_len=n, k=k, interpret=True))
+        two = np.asarray(b.banded_stream_dual(
+            np.asarray(pack.pack_banded_streams_jax(s, k, m)), q,
+            q_len=m, s_len=n, k=k, interpret=True))
+        np.testing.assert_array_equal(one, two)
+
+    def test_widest_supported_k(self, rng):
+        # k=31, h=30: band_down = 61, 2k = 62 — the widest dual geometry
+        self._check(rng, 2, 100, 256, 99, 31)
+
+    def test_preload_past_window_rejected(self, rng):
+        # 2k > 63: the preload exceeds the 64-bit window (reference UB too)
+        import pytest
+
+        from bgsa_tpu import pack
+        from bgsa_tpu.ops import banded as b
+
+        s = rng.integers(0, 4, size=(128, 99))
+        streams = np.asarray(pack.pack_banded_streams_jax(s, 32, 100))
+        with pytest.raises(ValueError, match="2k <= 63"):
+            b.banded_stream_dual(streams, np.zeros((1, 100), np.int32),
+                                 q_len=100, s_len=99, k=32, interpret=True)
+
