@@ -20,6 +20,10 @@ ORIG = "/tmp/ref-build/orig_cpu"
 BANDED = "/tmp/ref-build/banded_cpu"
 AVX2 = "/tmp/ref-build/avx2"
 AVX512 = "/tmp/ref-build/avx512"
+# generator instances the reference repo doesn't commit, built by
+# tests/ref_kernels/build.sh (semi-global Myers; positive-factor (0,1,1))
+SEMI = "/tmp/ref-build/semi_cpu"
+POS = "/tmp/ref-build/pos_cpu"
 
 
 def _have(path):
@@ -80,6 +84,49 @@ def test_diff_myers_vs_reference(tmp_path, seed):
     _write(sp, rng, S, n)
     _compare(_run_ref(ORIG, tmp_path, qp, sp), _run_ours(tmp_path, qp, sp),
              bytes_exact=(S % 128 == 0))
+
+
+@pytest.mark.skipif(not _have(SEMI), reason="semi-global reference not built "
+                    "(run tests/ref_kernels/build.sh)")
+@pytest.mark.parametrize("seed", range(3))
+def test_diff_semiglobal_vs_reference(tmp_path, seed):
+    """Semi-global Myers vs the generator's own emission, compiled: the
+    reference repo commits no semi-global kernel, so tests/ref_kernels holds
+    a hand-instantiation of MyersGenerator.genSemiGlobal for the CPU arch."""
+    rng = np.random.default_rng(seed + 8000)
+    Q = int(rng.integers(1, 6))
+    S = 384 if seed == 0 else int(rng.integers(1, 700))
+    m = int(rng.integers(10, 300))
+    n = int(rng.integers(10, 300))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    _write(qp, rng, Q, m)
+    _write(sp, rng, S, n)
+    _compare(
+        _run_ref(SEMI, tmp_path, qp, sp),
+        _run_ours(tmp_path, qp, sp, extra=["--semi-global"]),
+        bytes_exact=(S % 128 == 0),
+    )
+
+
+@pytest.mark.skipif(not _have(POS), reason="positive-factor reference not "
+                    "built (run tests/ref_kernels/build.sh)")
+@pytest.mark.parametrize("seed", range(2))
+def test_diff_positive_factor_vs_reference(tmp_path, seed):
+    """(0, 1, 1) — the generator's factor=+1 normalization (Main.java:
+    253-257) — vs the committed kernel rebuilt with factor = 1."""
+    rng = np.random.default_rng(seed + 9000)
+    Q = int(rng.integers(1, 5))
+    S = 256 if seed == 0 else int(rng.integers(1, 700))
+    m = int(rng.integers(10, 250))
+    n = int(rng.integers(10, 250))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    _write(qp, rng, Q, m)
+    _write(sp, rng, S, n)
+    _compare(
+        _run_ref(POS, tmp_path, qp, sp),
+        _run_ours(tmp_path, qp, sp, extra=["-M", "0", "-I", "1", "-G", "1"]),
+        bytes_exact=(S % 128 == 0),
+    )
 
 
 @pytest.mark.skipif(not _have(BANDED), reason="reference binaries not built")
