@@ -22,4 +22,32 @@ cp -r "$SRC" "$BUILD/pos_cpu"
 sed -i 's/factor = -1;/factor = 1;/; s/int mismatch_score = -1;/int mismatch_score = 1;/; s/int gap_score = -1;/int gap_score = 1;/' \
     "$BUILD/pos_cpu/align_core.c"
 (cd "$BUILD/pos_cpu" && make cc=gcc >/dev/null)
-echo "built: $BUILD/semi_cpu $BUILD/pos_cpu"
+
+# semib_avx2 — the committed AVX2 BitPAl (2,-3,-5) kernel with the
+# generator's isSemiGlobal differences applied (BitPAlGenerator.java:
+# writeBitInitStr state init = stored(minv) pattern 11011; dh_zero boundary;
+# per-row running max in genPackedScore:112-136)
+SRC2=/root/reference/original/BGSA_AVX2
+rm -rf "$BUILD/semib_avx2"
+cp -r "$SRC2" "$BUILD/semib_avx2"
+python3 - "$BUILD/semib_avx2/align_core.c" <<'PYEOF'
+import sys
+p = sys.argv[1]
+s = open(p).read()
+subs = [
+    ("dvdh_bit1[i] = dvdh_bit2[i] = dvdh_bit4[i] = dvdh_bit8[i] = dvdh_bit16[i] = _mm256_set1_epi32(0);",
+     "dvdh_bit1[i] = dvdh_bit2[i] = dvdh_bit8[i] = dvdh_bit16[i] = all_ones;\n            dvdh_bit4[i] = _mm256_set1_epi32(0);"),
+    ("dh_neg5 = all_ones;", "dh_zero = all_ones;"),
+    ("avx_data_t score = _mm256_set1_epi32(-5 * ref_len);",
+     "avx_data_t score = _mm256_set1_epi32(-5 * ref_len);\n        avx_data_t max_score = score;"),
+    ("dvdh_bit16[j] = _mm256_srli_epi32(dvdh_bit16[j], 1);",
+     "dvdh_bit16[j] = _mm256_srli_epi32(dvdh_bit16[j], 1);\n                max_score = _mm256_max_epi32(score, max_score);"),
+    ("int * vec_dump = ((int *) & score);", "int * vec_dump = ((int *) & max_score);"),
+]
+for old, new in subs:
+    assert s.count(old) == 1, old
+    s = s.replace(old, new)
+open(p, "w").write(s)
+PYEOF
+(cd "$BUILD/semib_avx2" && make cc=gcc >/dev/null)
+echo "built: $BUILD/semi_cpu $BUILD/pos_cpu $BUILD/semib_avx2"

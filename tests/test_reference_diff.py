@@ -21,9 +21,11 @@ BANDED = "/tmp/ref-build/banded_cpu"
 AVX2 = "/tmp/ref-build/avx2"
 AVX512 = "/tmp/ref-build/avx512"
 # generator instances the reference repo doesn't commit, built by
-# tests/ref_kernels/build.sh (semi-global Myers; positive-factor (0,1,1))
+# tests/ref_kernels/build.sh (semi-global Myers; positive-factor (0,1,1);
+# semi-global BitPAl (2,-3,-5))
 SEMI = "/tmp/ref-build/semi_cpu"
 POS = "/tmp/ref-build/pos_cpu"
+SEMIB = "/tmp/ref-build/semib_avx2"
 
 
 def _have(path):
@@ -127,6 +129,27 @@ def test_diff_positive_factor_vs_reference(tmp_path, seed):
         _run_ours(tmp_path, qp, sp, extra=["-M", "0", "-I", "1", "-G", "1"]),
         bytes_exact=(S % 128 == 0),
     )
+
+
+@pytest.mark.skipif(not _have(SEMIB), reason="semi-global BitPAl reference "
+                    "not built (run tests/ref_kernels/build.sh)")
+@pytest.mark.parametrize("seed,packed", [(0, True), (1, False)])
+def test_diff_bitpal_semiglobal_vs_reference(tmp_path, seed, packed):
+    """Semi-global BitPAl (2,-3,-5) — both representations — vs the committed
+    AVX2 kernel with the generator's isSemiGlobal differences applied at
+    build time."""
+    rng = np.random.default_rng(seed + 9500)
+    Q = int(rng.integers(1, 4))
+    S = int(rng.integers(1, 500))
+    m = int(rng.integers(10, 150))
+    n = int(rng.integers(10, 150))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    _write(qp, rng, Q, m)
+    _write(sp, rng, S, n)
+    extra = ["-M", "2", "-I", "-3", "-G", "-5", "--semi-global"]
+    if not packed:
+        extra.append("--no-packed")
+    _compare(_run_ref(SEMIB, tmp_path, qp, sp), _run_ours(tmp_path, qp, sp, extra=extra))
 
 
 @pytest.mark.skipif(not _have(BANDED), reason="reference binaries not built")
