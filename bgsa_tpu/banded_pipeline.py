@@ -44,6 +44,7 @@ class BandedEngine:
             backend = "pallas" if on_tpu or config.interpret else "xla"
         self.backend = backend
         self._step = functools.lru_cache(maxsize=None)(self._build_step)
+        self._exec: dict = {}  # AOT-compiled executables per batch geometry
 
     def _build_step(self, q_len: int, s_len: int, transport: str = "nib"):
         jax, config, k = self._jax, self.config, self.k
@@ -77,13 +78,32 @@ class BandedEngine:
 
         return step
 
+    def compile_for(self, nq: int, q_len: int, rows: int, s_len: int,
+                    transport: str) -> None:
+        """AOT-compile one batch geometry without executing (warm-up path)."""
+        import jax.numpy as jnp
+
+        key = (nq, q_len, rows, s_len, transport)
+        if key in self._exec:
+            return
+        step = self._step(q_len, s_len, transport)
+        qs = self._jax.ShapeDtypeStruct((nq, q_len), jnp.int32)
+        pk = self._jax.ShapeDtypeStruct(
+            (rows, pack.transport_width(transport, s_len)), jnp.uint8
+        )
+        self._exec[key] = step.lower(qs, pk).compile()
+
     def scores_packed(self, query_codes: np.ndarray, transport: str, packed, s_len: int):
         """Score against a transport-packed subject batch (pipeline hot path)."""
-        step = self._step(query_codes.shape[1], s_len, transport)
         if self.device is not None:
+            step = self._step(query_codes.shape[1], s_len, transport)
             with self._jax.default_device(self.device):
-                return step(query_codes.astype(np.int32), packed)
-        return step(query_codes.astype(np.int32), packed)
+                return step(np.asarray(query_codes, np.int32), packed)
+        self.compile_for(query_codes.shape[0], query_codes.shape[1],
+                         packed.shape[0], s_len, transport)
+        ex = self._exec[(query_codes.shape[0], query_codes.shape[1],
+                         packed.shape[0], s_len, transport)]
+        return ex(np.asarray(query_codes, np.int32), packed)
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int8 error counts."""

@@ -157,6 +157,11 @@ def transport_unpack_jax(name: str):
     return two_bit_unpack_jax if name == "2bit" else nibble_unpack_jax
 
 
+def transport_width(name: str, length: int) -> int:
+    """Packed bytes per subject for a transport (AOT shape computation)."""
+    return -(-length // 4) if name == "2bit" else -(-length // 2)
+
+
 def nibble_unpack_jax(nib, length: int):
     """Device-side inverse of nibble_pack: (S, ceil(n/2)) uint8 -> (S, n) int32."""
     import jax.numpy as jnp

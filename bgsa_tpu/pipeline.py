@@ -117,6 +117,7 @@ class Engine:
         else:
             self.mesh = None
         self._step = functools.lru_cache(maxsize=None)(self._build_step)
+        self._exec: dict = {}  # AOT-compiled executables per batch geometry
 
     @property
     def word_bits(self) -> int:
@@ -204,17 +205,40 @@ class Engine:
 
         return jax.jit(step_local)
 
+    def compile_for(self, nq: int, q_len: int, rows: int, s_len: int,
+                    transport: str) -> None:
+        """AOT-compile the step for one batch geometry without executing it —
+        the pipeline's warm-up path (a dummy bucket execution would double
+        small runs' cost for nothing)."""
+        import jax.numpy as jnp
+
+        key = (nq, q_len, rows, s_len, transport)
+        if key in self._exec:
+            return
+        step = self._step(q_len, s_len, transport)
+        qs = self._jax.ShapeDtypeStruct((nq, q_len), jnp.int32)
+        pk = self._jax.ShapeDtypeStruct(
+            (rows, pack.transport_width(transport, s_len)), jnp.uint8
+        )
+        self._exec[key] = step.lower(qs, pk).compile()
+
     def scores_packed(self, query_codes: np.ndarray, transport: str, packed, s_len: int):
         """Score against a transport-packed subject batch (see pack.select_transport).
 
         The pipeline packs each bucket once and reuses it across every query
         bucket (the reference packs once per bucket too, in its input thread).
         """
-        step = self._step(query_codes.shape[1], s_len, transport)
         if self.device is not None:
+            # Pinned engines (heterogeneous driver) use the jit path: AOT
+            # lowering does not capture jax.default_device.
+            step = self._step(query_codes.shape[1], s_len, transport)
             with self._jax.default_device(self.device):
-                return step(query_codes.astype(np.int32), packed)
-        return step(query_codes.astype(np.int32), packed)
+                return step(np.asarray(query_codes, np.int32), packed)
+        self.compile_for(query_codes.shape[0], query_codes.shape[1],
+                         packed.shape[0], s_len, transport)
+        ex = self._exec[(query_codes.shape[0], query_codes.shape[1],
+                         packed.shape[0], s_len, transport)]
+        return ex(np.asarray(query_codes, np.int32), packed)
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int16 scores.
@@ -390,15 +414,25 @@ def run_bucketed(
     warmed: set[int] = set()
 
     def ensure_warm(rows: int) -> None:
-        """Warm-compile both transports at this batch shape (idempotent)."""
+        """Warm-compile both transports at this batch shape (idempotent).
+
+        AOT compile only — no dummy execution (engines expose compile_for;
+        a custom engine without it falls back to a dummy-bucket run).
+        """
         if not rows or rows in warmed:
             return
         warmed.add(rows)
         t0 = time.perf_counter()
-        for fill in (0, 4):
-            dummy = np.full((rows, db.length), fill, np.uint8)
-            for nq in sorted({qb.shape[0] for qb in q_buckets}):
-                engine.scores(queries[:nq], dummy).block_until_ready()
+        nqs = sorted({qb.shape[0] for qb in q_buckets})
+        if hasattr(engine, "compile_for"):
+            for transport in ("2bit", "nib"):
+                for nq in nqs:
+                    engine.compile_for(nq, queries.shape[1], rows, db.length, transport)
+        else:
+            for fill in (0, 4):
+                dummy = np.full((rows, db.length), fill, np.uint8)
+                for nq in nqs:
+                    engine.scores(queries[:nq], dummy).block_until_ready()
         stats.compile_time += time.perf_counter() - t0
 
     if not dynamic and done_buckets < db.bucket_count:

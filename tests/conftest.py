@@ -17,6 +17,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the heavy XLA-scan compiles (BitPAl golden)
+# only cost their first run on a machine; ~halves repeat suite wall time.
+_cache_dir = os.environ.get("BGSA_TEST_JAX_CACHE", "/tmp/bgsa_test_jax_cache")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass  # cache is best-effort
+
 import numpy as np
 import pytest
 

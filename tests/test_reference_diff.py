@@ -193,8 +193,10 @@ def test_diff_bitpal_vs_reference(tmp_path, seed, build):
     rng = np.random.default_rng(seed + 7000)
     Q = int(rng.integers(1, 4))
     S = int(rng.integers(1, 600))
-    m = int(rng.integers(10, 200))
-    n = int(rng.integers(10, 200))
+    # short lengths: the XLA-scan BitPAl costs ~0.3 s/column on the 1-core
+    # CI; 500 bp x multi-word coverage comes from the committed golden
+    m = int(rng.integers(10, 120))
+    n = int(rng.integers(10, 120))
     qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
     _write(qp, rng, Q, m)
     _write(sp, rng, S, n)
