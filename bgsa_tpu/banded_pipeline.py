@@ -79,37 +79,41 @@ class BandedEngine:
         return step
 
     def compile_for(self, nq: int, q_len: int, rows: int, s_len: int,
-                    transport: str) -> None:
+                    transport: str, sidecar: int = 0) -> None:
         """AOT-compile one batch geometry without executing (warm-up path)."""
         import jax.numpy as jnp
 
-        key = (nq, q_len, rows, s_len, transport)
+        key = (nq, q_len, rows, s_len, transport, sidecar)
         if key in self._exec:
             return
         step = self._step(q_len, s_len, transport)
         qs = self._jax.ShapeDtypeStruct((nq, q_len), jnp.int32)
-        pk = self._jax.ShapeDtypeStruct(
-            (rows, pack.transport_width(transport, s_len)), jnp.uint8
-        )
-        self._exec[key] = step.lower(qs, pk).compile()
+        specs = [
+            self._jax.ShapeDtypeStruct(sh, dt)
+            for sh, dt in pack.transport_specs(transport, rows, s_len, sidecar)
+        ]
+        payload = specs[0] if len(specs) == 1 else tuple(specs)
+        self._exec[key] = step.lower(qs, payload).compile()
 
-    def scores_packed(self, query_codes: np.ndarray, transport: str, packed, s_len: int):
+    def scores_packed(self, query_codes: np.ndarray, transport: str, payload, s_len: int):
         """Score against a transport-packed subject batch (pipeline hot path)."""
         if self.device is not None:
             step = self._step(query_codes.shape[1], s_len, transport)
             with self._jax.default_device(self.device):
-                return step(np.asarray(query_codes, np.int32), packed)
-        self.compile_for(query_codes.shape[0], query_codes.shape[1],
-                         packed.shape[0], s_len, transport)
-        ex = self._exec[(query_codes.shape[0], query_codes.shape[1],
-                         packed.shape[0], s_len, transport)]
-        return ex(np.asarray(query_codes, np.int32), packed)
+                return step(np.asarray(query_codes, np.int32), payload)
+        main = payload[0] if isinstance(payload, tuple) else payload
+        sidecar = payload[1].shape[0] if isinstance(payload, tuple) else 0
+        key = (query_codes.shape[0], query_codes.shape[1], main.shape[0],
+               s_len, transport, sidecar)
+        if key not in self._exec:
+            self.compile_for(*key)
+        return self._exec[key](np.asarray(query_codes, np.int32), payload)
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int8 error counts."""
-        transport, packed = pack.select_transport(subject_codes)
+        transport, payload = pack.select_transport(subject_codes)
         return self.scores_packed(
-            query_codes, transport, packed, subject_codes.shape[1]
+            query_codes, transport, payload, subject_codes.shape[1]
         )
 
 

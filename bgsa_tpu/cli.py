@@ -68,6 +68,9 @@ def align_main(argv=None) -> int:
                    help="heterogeneous co-compute: '+'-joined jax platforms "
                         "(e.g. tpu+cpu), one in-process device section per "
                         "entry — the reference's -t MICSSE; combine with -R/-D")
+    p.add_argument("-n", dest="device_count", type=int, default=None,
+                   help="with a single-platform -t: use this many devices of "
+                        "that platform (the reference's -n mic count)")
     p.add_argument("-D", dest="dynamic", action="store_true",
                    help="dynamic load balancing (reference -D): re-split every "
                         "bucket from the measured device/host times; requires "
@@ -165,6 +168,15 @@ def align_main(argv=None) -> int:
         print("error: -t and --host are mutually exclusive (in-process devices "
               "vs multi-host roles)", file=sys.stderr)
         return 1
+    if args.device_count is not None:
+        if not args.devices or "+" in args.devices:
+            print("error: -n needs a single-platform -t (e.g. -t tpu -n 4)",
+                  file=sys.stderr)
+            return 1
+        if args.device_count < 1:
+            print("error: -n must be >= 1", file=sys.stderr)
+            return 1
+        args.devices = "+".join([args.devices] * args.device_count)
     if args.dynamic and shard is None and not args.devices:
         print("error: -D requires --host I:N or -t SPEC (dynamic balancing "
               "re-splits device/host slices; single-role runs have nothing "

@@ -143,23 +143,78 @@ def two_bit_unpack_jax(packed, length: int):
     return out[:, :length].astype(jnp.int32)
 
 
-def select_transport(codes: np.ndarray) -> tuple[str, np.ndarray]:
-    """Pick the host->device subject encoding for a batch: 4 codes/byte when
-    it is N-free, 2 codes/byte otherwise. Returns (name, packed); pair with
-    transport_unpack_jax(name) on the device side."""
-    if codes.max(initial=0) < 4:
+# N-position sidecar rows are padded to this granularity so the device step
+# compiles for a bounded set of sidecar shapes.
+SIDECAR_QUANT = 1024
+
+
+def sidecar_pack(codes: np.ndarray) -> np.ndarray:
+    """(K', 2) int32 positions of the N characters (row, col), K' padded up
+    to a SIDECAR_QUANT multiple with out-of-range rows (scatter-dropped)."""
+    rows, cols = np.nonzero(np.asarray(codes) > 3)
+    k = len(rows)
+    padded = max(-(-k // SIDECAR_QUANT), 1) * SIDECAR_QUANT
+    pos = np.full((padded, 2), codes.shape[0], np.int32)  # row == S -> dropped
+    pos[:k, 0] = rows
+    pos[:k, 1] = cols
+    return pos
+
+
+def select_transport(codes: np.ndarray, allow_sidecar: bool = True):
+    """Pick the host->device subject encoding for a batch.
+
+    * N-free: 4 codes/byte ("2bit").
+    * rare N (sidecar smaller than the nibble-vs-2bit delta): 4 codes/byte
+      plus a sparse N fix-up list ("2bitN", payload is a (packed, positions)
+      tuple) — halves the upload again for real-read data with occasional N.
+    * otherwise: 2 codes/byte ("nib").
+
+    Returns (name, payload); pair with transport_unpack_jax(name) on the
+    device side. ``allow_sidecar=False`` restricts to the single-array
+    transports (the local shard_map path can't scatter global indices).
+    """
+    codes = np.asarray(codes)
+    n_count = int(np.count_nonzero(codes > 3))
+    if n_count == 0:
         return "2bit", two_bit_pack(codes)
+    S, L = codes.shape
+    delta = S * (-(-L // 2) - (-(-L // 4)))  # nibble bytes minus 2bit bytes
+    sidecar_rows = max(-(-n_count // SIDECAR_QUANT), 1) * SIDECAR_QUANT
+    if allow_sidecar and sidecar_rows * 8 <= delta:
+        clean = np.where(codes > 3, 0, codes).astype(np.uint8)
+        return "2bitN", (two_bit_pack(clean), sidecar_pack(codes))
     return "nib", nibble_pack(codes)
+
+
+def two_bit_sidecar_unpack_jax(payload, length: int):
+    """Device-side inverse of the "2bitN" transport: 2-bit unpack, then
+    scatter code 4 at the sidecar positions (padded rows are out of range
+    and dropped)."""
+    packed, pos = payload
+    out = two_bit_unpack_jax(packed, length)
+    return out.at[pos[:, 0], pos[:, 1]].set(4, mode="drop")
 
 
 def transport_unpack_jax(name: str):
     """Device-side unpacker matching select_transport's name."""
-    return two_bit_unpack_jax if name == "2bit" else nibble_unpack_jax
+    return {
+        "2bit": two_bit_unpack_jax,
+        "2bitN": two_bit_sidecar_unpack_jax,
+        "nib": nibble_unpack_jax,
+    }[name]
 
 
 def transport_width(name: str, length: int) -> int:
     """Packed bytes per subject for a transport (AOT shape computation)."""
-    return -(-length // 4) if name == "2bit" else -(-length // 2)
+    return -(-length // 4) if name in ("2bit", "2bitN") else -(-length // 2)
+
+
+def transport_specs(name: str, rows: int, length: int, sidecar: int = 0):
+    """(shape, dtype) leaves of a transport payload (AOT warm-up shapes)."""
+    main = ((rows, transport_width(name, length)), np.uint8)
+    if name == "2bitN":
+        return [main, ((sidecar, 2), np.int32)]
+    return [main]
 
 
 def nibble_unpack_jax(nib, length: int):

@@ -131,7 +131,10 @@ def run_hetero(
                             [codes, np.zeros((pads[d] - cnt, codes.shape[1]),
                                              codes.dtype)]
                         )
-                    transport, packed = pack.select_transport(codes)
+                    # single-array transports only: a new sidecar shape would
+                    # jit-compile inside the timed section and distort the
+                    # balancer's measurement for this bucket
+                    transport, packed = pack.select_transport(codes, allow_sidecar=False)
                     devs = [
                         engines[d].scores_packed(qb, transport, packed, codes.shape[1])
                         for qb in q_buckets

@@ -206,23 +206,25 @@ class Engine:
         return jax.jit(step_local)
 
     def compile_for(self, nq: int, q_len: int, rows: int, s_len: int,
-                    transport: str) -> None:
+                    transport: str, sidecar: int = 0) -> None:
         """AOT-compile the step for one batch geometry without executing it —
         the pipeline's warm-up path (a dummy bucket execution would double
         small runs' cost for nothing)."""
         import jax.numpy as jnp
 
-        key = (nq, q_len, rows, s_len, transport)
+        key = (nq, q_len, rows, s_len, transport, sidecar)
         if key in self._exec:
             return
         step = self._step(q_len, s_len, transport)
         qs = self._jax.ShapeDtypeStruct((nq, q_len), jnp.int32)
-        pk = self._jax.ShapeDtypeStruct(
-            (rows, pack.transport_width(transport, s_len)), jnp.uint8
-        )
-        self._exec[key] = step.lower(qs, pk).compile()
+        specs = [
+            self._jax.ShapeDtypeStruct(sh, dt)
+            for sh, dt in pack.transport_specs(transport, rows, s_len, sidecar)
+        ]
+        payload = specs[0] if len(specs) == 1 else tuple(specs)
+        self._exec[key] = step.lower(qs, payload).compile()
 
-    def scores_packed(self, query_codes: np.ndarray, transport: str, packed, s_len: int):
+    def scores_packed(self, query_codes: np.ndarray, transport: str, payload, s_len: int):
         """Score against a transport-packed subject batch (see pack.select_transport).
 
         The pipeline packs each bucket once and reuses it across every query
@@ -233,23 +235,28 @@ class Engine:
             # lowering does not capture jax.default_device.
             step = self._step(query_codes.shape[1], s_len, transport)
             with self._jax.default_device(self.device):
-                return step(np.asarray(query_codes, np.int32), packed)
-        self.compile_for(query_codes.shape[0], query_codes.shape[1],
-                         packed.shape[0], s_len, transport)
-        ex = self._exec[(query_codes.shape[0], query_codes.shape[1],
-                         packed.shape[0], s_len, transport)]
-        return ex(np.asarray(query_codes, np.int32), packed)
+                return step(np.asarray(query_codes, np.int32), payload)
+        main = payload[0] if isinstance(payload, tuple) else payload
+        sidecar = payload[1].shape[0] if isinstance(payload, tuple) else 0
+        key = (query_codes.shape[0], query_codes.shape[1], main.shape[0],
+               s_len, transport, sidecar)
+        if key not in self._exec:
+            self.compile_for(*key)
+        return self._exec[key](np.asarray(query_codes, np.int32), payload)
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int16 scores.
 
-        Subjects travel packed — 4 codes/byte for N-free batches, 2
-        codes/byte otherwise — and are unpacked + Eq-packed on device inside
-        the jitted step (the upload is the production bottleneck).
+        Subjects travel packed — 4 codes/byte for N-free batches, 2+sidecar
+        for rare-N batches, 2 codes/byte otherwise — and are unpacked +
+        Eq-packed on device inside the jitted step (the upload is the
+        production bottleneck).
         """
-        transport, packed = pack.select_transport(subject_codes)
+        transport, payload = pack.select_transport(
+            subject_codes, allow_sidecar=self.mesh is None
+        )
         return self.scores_packed(
-            query_codes, transport, packed, subject_codes.shape[1]
+            query_codes, transport, payload, subject_codes.shape[1]
         )
 
 
@@ -536,13 +543,30 @@ def run_bucketed(
             # Host-side transport packing, once per bucket (reused across
             # query buckets) — the analogue of the reference's pack phase,
             # billed to mem_total_time like its *_handle_reads
-            # (cal_sse.c:469-487).
+            # (cal_sse.c:469-487). The sidecar transport needs global row
+            # scatter, which the local shard_map path can't do.
             t0 = time.perf_counter()
-            transport, packed = pack.select_transport(codes)
+            transport, payload = pack.select_transport(
+                codes, allow_sidecar=getattr(engine, "mesh", None) is None
+            )
             stats.pack_time += time.perf_counter() - t0
+            if hasattr(engine, "compile_for"):
+                # Geometries the pre-warm can't know (sidecar sizes, dynamic
+                # shapes): compile now so cal_time stays compile-free; a
+                # cache hit makes this free.
+                main = payload[0] if isinstance(payload, tuple) else payload
+                sidecar = payload[1].shape[0] if isinstance(payload, tuple) else 0
+                t0 = time.perf_counter()
+                for nq in sorted({qb.shape[0] for qb in q_buckets}):
+                    engine.compile_for(nq, queries.shape[1], main.shape[0],
+                                       codes.shape[1], transport, sidecar)
+                dt = time.perf_counter() - t0
+                stats.compile_time += dt
+                if dynamic:
+                    t_bucket += dt  # keep compile out of the balancer's wall time
             for qb in q_buckets:
                 t_cal = time.perf_counter()
-                dev_scores = engine.scores_packed(qb, transport, packed, codes.shape[1])
+                dev_scores = engine.scores_packed(qb, transport, payload, codes.shape[1])
                 stats.cal_time += time.perf_counter() - t_cal  # async dispatch
                 events.append(("scores", dev_scores, real, bucket_index))
                 n_pending += 1

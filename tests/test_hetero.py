@@ -109,3 +109,31 @@ def test_hetero_rejects_unknown_platform(tmp_path, rng):
     cfg = pl_mod.PipelineConfig(backend="xla")
     with pytest.raises(ValueError, match="not registered|device"):
         hetero_engines(Scoring(0, -1, -1), Mode.GLOBAL, cfg, "tpu+nope")
+
+
+def test_cli_n_device_count(tmp_path, rng):
+    """-t cpu -n 2 == -t cpu+cpu (the reference's -n mic count)."""
+    from bgsa_tpu import cli
+
+    q = rng.integers(0, 4, size=(2, 20))
+    s = rng.integers(0, 4, size=(500, 24))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    het = str(tmp_path / "het.bin")
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", het,
+                   "-t", "cpu", "-n", "2", "--backend", "xla", "--quiet"])
+    assert rc == 0
+    info = result_io.read_info(het + ".info")
+    assert info.device_num == 2
+
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(qp, sp, single, config=pl_mod.PipelineConfig(backend="xla"))
+    a, b = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
+    result_io.convert_result(single, a)
+    result_io.convert_result(het, b)
+    assert open(a).read() == open(b).read()
+
+    # -n with a multi-platform spec is rejected
+    assert cli.main(["align", "-q", qp, "-d", sp, "-f", het,
+                     "-t", "cpu+cpu", "-n", "2", "--quiet"]) == 1

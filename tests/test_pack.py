@@ -70,3 +70,51 @@ def test_two_bit_roundtrip(rng):
         assert packed.shape == (9, (n + 3) // 4)
         back = np.asarray(pack.two_bit_unpack_jax(packed, n))
         np.testing.assert_array_equal(back, codes)
+
+
+def test_sidecar_transport_roundtrip(rng):
+    """Rare-N batches ride 2-bit + N-position sidecar; dense-N fall back."""
+    import jax
+
+    from bgsa_tpu import pack
+
+    codes = rng.integers(0, 4, size=(300, 150)).astype(np.uint8)
+    nr = rng.integers(0, 300, size=40)
+    nc = rng.integers(0, 150, size=40)
+    codes[nr, nc] = 4
+    name, payload = pack.select_transport(codes)
+    assert name == "2bitN"
+    unpack = jax.jit(pack.transport_unpack_jax(name), static_argnums=1)
+    got = np.asarray(unpack(payload, 150))
+    np.testing.assert_array_equal(got, codes)
+
+    # N-free -> plain 2bit; mostly-N -> nibble; sidecar disabled -> nibble
+    clean = rng.integers(0, 4, size=(64, 40)).astype(np.uint8)
+    assert pack.select_transport(clean)[0] == "2bit"
+    dense = np.full((64, 40), 4, np.uint8)
+    assert pack.select_transport(dense)[0] == "nib"
+    assert pack.select_transport(codes, allow_sidecar=False)[0] == "nib"
+
+
+def test_pipeline_rare_n_uses_sidecar(tmp_path, rng):
+    """End-to-end: a database with occasional N scores identically through
+    the sidecar transport (vs the same data forced onto nibbles)."""
+    from bgsa_tpu import pipeline as pl_mod
+    from bgsa_tpu.io import seqfile
+
+    q = rng.integers(0, 4, size=(3, 30))
+    s = rng.integers(0, 4, size=(2000, 40))
+    s[rng.integers(0, 2000, 25), rng.integers(0, 40, 25)] = 4
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    a, b = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+    pl_mod.run_alignment(qp, sp, a, config=pl_mod.PipelineConfig(backend="xla"))
+    # local_shards path disallows the sidecar -> nibble; scores must agree
+    import jax
+
+    shards = min(2, len(jax.devices()))
+    pl_mod.run_alignment(
+        qp, sp, b, config=pl_mod.PipelineConfig(backend="xla", local_shards=shards)
+    )
+    assert open(a, "rb").read() == open(b, "rb").read()
