@@ -69,7 +69,8 @@ def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len, unrol
         for j in range(W):
             pm = eq_c[j] | vn[j]
             s = (vp[j] & pm) + vp[j] + add_carry
-            add_carry = s >> word_bits
+            if j < W - 1:  # the last word's outgoing carries are unused
+                add_carry = s >> word_bits
             # No mask on s: its bit 31 (the add carry) leaks into d0/hp, but
             # every consumer either masks (vp'/vn') or shifts it out (hp<<1),
             # and maskh is always below bit 31 — one op less on the hot chain
@@ -83,9 +84,10 @@ def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len, unrol
                 score = score - hn_hit.astype(jnp.int32)
                 score = score + jnp.logical_and(hp_hit, jnp.logical_not(hn_hit)).astype(jnp.int32)
             hp = (hp << 1) | hp_shift
-            hp_shift = hp >> word_bits
             hn = (hn << 1) | hn_shift
-            hn_shift = hn >> word_bits
+            if j < W - 1:
+                hp_shift = hp >> word_bits
+                hn_shift = hn >> word_bits
             new_vp.append((~(d0 | hp) | hn) & carry_mask)
             new_vn.append((d0 & hp) & carry_mask)
         return jnp.stack(new_vp), jnp.stack(new_vn), score

@@ -58,14 +58,19 @@ def _column(eq_c, pv, mv, score, min_score, *, read_len, is_global=False):
         if j == W - 1:
             ph_bit = (ph >> last_shift) & one
             mh_bit = (mh >> last_shift) & one
-        hp_out = ph >> (WORD_BITS - 1)
-        hn_out = mh >> (WORD_BITS - 1)
+        else:
+            # the last word's outgoing horizontal delta is never consumed
+            hp_out = ph >> (WORD_BITS - 1)
+            hn_out = mh >> (WORD_BITS - 1)
         ph = (ph << 1) | hp_in
         mh = (mh << 1) | hn_in
         new_pv.append(~(xv | ph) | mh)
         new_mv.append(ph & xv)
-        hp_in, hn_in = hp_out, hn_out
+        if j < W - 1:
+            hp_in, hn_in = hp_out, hn_out
     score = score + ph_bit.astype(jnp.int32) - mh_bit.astype(jnp.int32)
+    if min_score is None:  # global mode: the running min is dead state
+        return new_pv, new_mv, score, None
     min_score = jnp.minimum(min_score, score)
     return new_pv, new_mv, score, min_score
 
@@ -77,18 +82,21 @@ def myers_semiglobal_xla(eq, queries, *, read_len: int, factor: int = -1, is_glo
 
     def one_query(query):
         def step(carry, c):
-            pv, mv, score, mins = carry
+            pv, mv, score = carry[:3]
+            mins = None if is_global else carry[3]
             eq_c = lax.dynamic_index_in_dim(eq, c, axis=0, keepdims=False)
             npv, nmv, score, mins = _column(
                 eq_c, pv, mv, score, mins, read_len=read_len, is_global=is_global
             )
-            return (jnp.stack(npv), jnp.stack(nmv), score, mins), None
+            out = (jnp.stack(npv), jnp.stack(nmv), score)
+            return (out if is_global else out + (mins,)), None
 
         pv0 = jnp.full((W, S), jnp.uint32(0xFFFFFFFF))
         mv0 = jnp.zeros((W, S), jnp.uint32)
         score0 = jnp.full((S,), read_len, jnp.int32)
-        (pv, mv, score, mins), _ = lax.scan(step, (pv0, mv0, score0, score0), query)
-        result = score if is_global else mins
+        carry0 = (pv0, mv0, score0) if is_global else (pv0, mv0, score0, score0)
+        carry, _ = lax.scan(step, carry0, query)
+        result = carry[2] if is_global else carry[3]
         return result * jnp.int32(factor)
 
     return jax.vmap(one_query)(queries)
@@ -99,18 +107,20 @@ def _kernel(q_ref, eq_ref, out_ref, *, read_len, factor, q_len, is_global, unrol
     tile = (R, L)
 
     def column(i, state):
-        pv, mv, score, mins = state
+        pv, mv, score = state[:3]
+        mins = None if is_global else state[3]
         c = q_ref[0, 0, i]
         eq_c = eq_ref[c]
         npv, nmv, score, mins = _column(
             eq_c, pv, mv, score, mins, read_len=read_len, is_global=is_global
         )
-        return jnp.stack(npv), jnp.stack(nmv), score, mins
+        out = (jnp.stack(npv), jnp.stack(nmv), score)
+        return out if is_global else out + (mins,)
 
     pv0 = jnp.full((W,) + tile, jnp.uint32(0xFFFFFFFF))
     mv0 = jnp.zeros((W,) + tile, jnp.uint32)
     score0 = jnp.full(tile, read_len, jnp.int32)
-    state = (pv0, mv0, score0, score0)
+    state = (pv0, mv0, score0) if is_global else (pv0, mv0, score0, score0)
 
     # Same column-unrolling as myers_pallas (see docs/PERF.md).
     def column_u(i, state):
