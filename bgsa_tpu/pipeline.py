@@ -71,6 +71,9 @@ class PipelineConfig:
     # ever compile (the reference re-splits at V_NUM granularity because its
     # C kernels take any count; XLA compiles per shape).
     dynamic_grid: int = 8
+    # -D: how long to wait for a peer's per-bucket time file before failing
+    # the run with a clear error (the reference would hang in its barrier).
+    sync_timeout: float = 3600.0
     # Packed bit-plane BitPAl: identical scores, +18% over non-packed on v5e
     # (falls back to non-packed where the packed decode doesn't apply).
     bitpal_packed: bool = True
@@ -505,9 +508,13 @@ def run_bucketed(
             if dynamic and bucket_index > done_buckets:
                 # The previous bucket's measured times steer this bucket's
                 # split (adjust_device_ratio3 between buckets, cal_all.c:1332).
-                times = mh.read_bucket_times(sync_dir, bucket_index - 1, n_hosts)
+                times = mh.read_bucket_times(
+                    sync_dir, bucket_index - 1, n_hosts,
+                    timeout=config.sync_timeout,
+                )
                 dyn_ratios = balancer.update(times)
             if dynamic:
+                stats.dynamic_ratios.append(list(dyn_ratios))
                 start, count = host_slice(bucket.count, n_hosts, host_id, chunk, dyn_ratios)
             else:
                 start, count = host_slice(bucket.count, n_hosts, host_id, v_num, shard_ratios)

@@ -27,6 +27,9 @@ class RunStats:
     # cal_all.c:318-321 — the input to its dynamic load balancer; feed these
     # to parallel.multihost.DynamicBalancer for heterogeneous deployments).
     bucket_cal_times: list = dataclasses.field(default_factory=list)
+    # -D mode: the ratio schedule actually used, one row per computed bucket
+    # (the reference prints device_compute_ratio per round, global.c:66-68).
+    dynamic_ratios: list = dataclasses.field(default_factory=list)
 
     @property
     def cells(self) -> int:
