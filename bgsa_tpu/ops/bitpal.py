@@ -328,8 +328,8 @@ def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
     nvals = p.maxv - p.minv + 1
-    # Keep state + eq under ~10 MB of VMEM.
-    budget_rows = max((10 << 20) // ((nvals + C) * W * LANES * 4), 1)
+    # State planes + double-buffered Eq blocks under ~10 MB of scoped VMEM.
+    budget_rows = max((10 << 20) // ((nvals + 2 * C) * W * LANES * 4), 1)
     r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
     nb = rows_p // r
     eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)

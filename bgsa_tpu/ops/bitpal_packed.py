@@ -355,7 +355,8 @@ def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
-    budget_rows = max((10 << 20) // ((nbits + C) * W * LANES * 4), 1)
+    # State planes + double-buffered Eq blocks under ~10 MB of scoped VMEM.
+    budget_rows = max((10 << 20) // ((nbits + 2 * C) * W * LANES * 4), 1)
     r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
     nb = rows_p // r
     eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)

@@ -144,9 +144,10 @@ def myers_global(
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
-    # VMEM budget: Eq block (C planes) + VP/VN state (2) per word, double
-    # buffered by the pipeline — long subjects (large W) shrink the block.
-    budget_rows = max((24 << 20) // ((C + 2) * W * LANES * 4), 1)
+    # VMEM budget: Eq blocks are double-buffered by the Pallas pipeline
+    # (2*C planes) + VP/VN state (2) per word, against the ~16 MB scoped
+    # stack — long subjects (large W) shrink the block.
+    budget_rows = max((10 << 20) // ((2 * C + 2) * W * LANES * 4), 1)
     r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
     nb = rows_p // r
     eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)

@@ -156,12 +156,17 @@ def myers_semiglobal(
     C, W, S = eq.shape
     Q, m = queries.shape
     if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
-        unroll = 1 if interpret else 20
+        # long subjects prefer deeper unrolls (W=94: u30 +2.7% over u20;
+        # 500bp/W=16: u30 -4.6%) — interleaved medians on v5e
+        unroll = 1 if interpret else (30 if W >= 48 else 20)
     LANES = 128
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
-    budget_rows = max((24 << 20) // ((C + 2) * W * LANES * 4), 1)
+    # Eq blocks are double-buffered by the Pallas pipeline (2*C), plus VP/VN
+    # state (2), against the ~16 MB scoped-VMEM stack (r32 at W=94 measured
+    # 16.78 MB and failed to compile before this accounting).
+    budget_rows = max((10 << 20) // ((2 * C + 2) * W * LANES * 4), 1)
     r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
     nb = rows_p // r
     eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)
