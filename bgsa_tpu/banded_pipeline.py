@@ -93,7 +93,10 @@ class BandedEngine:
             for sh, dt in pack.transport_specs(transport, rows, s_len, sidecar)
         ]
         payload = specs[0] if len(specs) == 1 else tuple(specs)
-        self._exec[key] = step.lower(qs, payload).compile()
+        ex = self._exec[key] = step.lower(qs, payload).compile()
+        from .pipeline import _warm_executable
+
+        _warm_executable(self._jax, ex, (qs,) + tuple(specs))
 
     def scores_packed(self, query_codes: np.ndarray, transport: str, payload, s_len: int):
         """Score against a transport-packed subject batch (pipeline hot path)."""

@@ -56,9 +56,48 @@ def _enable_compilation_cache(jax) -> None:
         pass  # cache is best-effort
 
 
+def _warm_executable(jax, ex, specs) -> None:
+    """Run an AOT-compiled step once on zero inputs on accelerator backends.
+
+    On the remote-TPU service, ``lower().compile()`` returns before the
+    program is actually loaded device-side — the first *call* pays a
+    multi-minute remote episode (measured: 25 s compile, 396 s first call).
+    Executing once on zeros keeps that cost in the warm-up where it is
+    billed to compile_time. CPU compiles locally, so the extra execution
+    would only slow the test suite there.
+    """
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except RuntimeError:
+        return
+    args = []
+    payload = []
+    for i, s in enumerate(specs):
+        z = np.zeros(s.shape, s.dtype)
+        if i == 0:
+            args.append(z)
+        else:
+            payload.append(z)
+    if len(payload) == 1:
+        args.append(payload[0])
+    elif payload:
+        args.append(tuple(payload))
+    jax.block_until_ready(ex(*args))
+
+
+# Default database bucket: a quarter of the reference's READ_BUCKET_SIZE.
+# With its full 115 MB (~760k x 150bp rows) the lag-1 drain keeps two
+# near-HBM-capacity programs in flight and the remote service stalls the
+# first fetch ~100x (measured 98.6s vs 1.5s fetched immediately; whole runs
+# 507s vs 48s at 28.7 MB buckets). Format-compatible either way — bucket
+# size only changes the .info blocking, not converted output.
+TPU_BUCKET_SIZE = seqfile.DEFAULT_BUCKET_SIZE // 4
+
+
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
-    bucket_size: int = seqfile.DEFAULT_BUCKET_SIZE
+    bucket_size: int = TPU_BUCKET_SIZE
     ref_bucket_count: int = seqfile.REF_BUCKET_COUNT
     v_num: int = 128  # subject pad unit; must be a multiple of 128 for Pallas
     rows_per_block: int | None = None  # None = per-kernel tuned default
@@ -225,7 +264,8 @@ class Engine:
             for sh, dt in pack.transport_specs(transport, rows, s_len, sidecar)
         ]
         payload = specs[0] if len(specs) == 1 else tuple(specs)
-        self._exec[key] = step.lower(qs, payload).compile()
+        ex = self._exec[key] = step.lower(qs, payload).compile()
+        _warm_executable(self._jax, ex, (qs,) + tuple(specs))
 
     def scores_packed(self, query_codes: np.ndarray, transport: str, payload, s_len: int):
         """Score against a transport-packed subject batch (see pack.select_transport).
