@@ -475,6 +475,8 @@ def run_bucketed(
         t0 = time.perf_counter()
         nqs = sorted({qb.shape[0] for qb in q_buckets})
         if hasattr(engine, "compile_for"):
+            # (parallel compile threads were tried here: the remote compile
+            # service serializes requests, so they bought nothing)
             for transport in ("2bit", "nib"):
                 for nq in nqs:
                     engine.compile_for(nq, queries.shape[1], rows, db.length, transport)
