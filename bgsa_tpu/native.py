@@ -62,6 +62,9 @@ def get_lib():
         ]
         lib.bgsa_pack_banded.restype = None
         lib.bgsa_pack_eq.restype = None
+        lib.bgsa_two_bit_pack.restype = None
+        lib.bgsa_nibble_pack.restype = None
+        lib.bgsa_count_n.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -98,6 +101,31 @@ def pack_banded(codes: np.ndarray, k: int, query_len: int):
         inj.ctypes.data_as(ctypes.c_void_p), ctypes.c_int32(W),
     )
     return init_lo, init_hi, inj
+
+
+def transport_pack(codes: np.ndarray, two_bit: bool):
+    """Native 2-bit / nibble transport packing; returns None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    S, L = codes.shape
+    W = -(-L // 4) if two_bit else -(-L // 2)
+    out = np.empty((S, W), np.uint8)
+    fn = lib.bgsa_two_bit_pack if two_bit else lib.bgsa_nibble_pack
+    fn(codes.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(S),
+       ctypes.c_int64(L), out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def count_n(codes: np.ndarray):
+    """Native count of N codes (> 3); returns None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    return int(lib.bgsa_count_n(codes.ctypes.data_as(ctypes.c_void_p),
+                                ctypes.c_int64(codes.size)))
 
 
 def pack_eq(codes: np.ndarray, word_bits: int):

@@ -111,6 +111,11 @@ def nibble_pack(codes: np.ndarray) -> np.ndarray:
     a device either: its offload sends pre-packed Eq planes, R12).
     """
     codes = np.asarray(codes, dtype=np.uint8)
+    from . import native
+
+    fast = native.transport_pack(codes, two_bit=False)
+    if fast is not None:
+        return fast
     S, n = codes.shape
     if n % 2:
         codes = np.concatenate([codes, np.full((S, 1), 0, np.uint8)], axis=1)
@@ -124,6 +129,11 @@ def two_bit_pack(codes: np.ndarray) -> np.ndarray:
     contains no 'N' (codes > 3 would be corrupted — callers must check).
     """
     codes = np.asarray(codes, dtype=np.uint8)
+    from . import native
+
+    fast = native.transport_pack(codes, two_bit=True)
+    if fast is not None:
+        return fast
     S, n = codes.shape
     pad = (-n) % 4
     if pad:
@@ -174,7 +184,13 @@ def select_transport(codes: np.ndarray, allow_sidecar: bool = True):
     transports (the local shard_map path can't scatter global indices).
     """
     codes = np.asarray(codes)
-    n_count = int(np.count_nonzero(codes > 3))
+    from . import native
+
+    n_count = None
+    if codes.dtype == np.uint8 and codes.flags.c_contiguous:
+        n_count = native.count_n(codes)
+    if n_count is None:
+        n_count = int(np.count_nonzero(codes > 3))
     if n_count == 0:
         return "2bit", two_bit_pack(codes)
     S, L = codes.shape

@@ -185,4 +185,51 @@ void bgsa_pack_eq(const uint8_t* codes, int64_t S, int64_t L, int32_t word_bits,
   }
 }
 
+// Transport packers (the host side of the upload path; the reference packs
+// on host cores too, R6). Bit layout matches pack.two_bit_pack /
+// pack.nibble_pack exactly: little-endian within the byte, zero padding.
+void bgsa_two_bit_pack(const uint8_t* codes, int64_t S, int64_t L,
+                       uint8_t* out) {
+  int64_t W = (L + 3) / 4;
+  for (int64_t s = 0; s < S; s++) {
+    const uint8_t* row = codes + s * L;
+    uint8_t* o = out + s * W;
+    int64_t full = L / 4;
+    for (int64_t w = 0; w < full; w++) {
+      // codes < 4, so OR-folding the word can't collide bits
+      uint32_t v;
+      memcpy(&v, row + 4 * w, 4);
+      o[w] = (uint8_t)((v | (v >> 6) | (v >> 12) | (v >> 18)) & 0xFF);
+    }
+    if (full < W) {
+      uint8_t b = 0;
+      for (int64_t i = full * 4; i < L; i++) b |= row[i] << (2 * (i - full * 4));
+      o[full] = b;
+    }
+  }
+}
+
+void bgsa_nibble_pack(const uint8_t* codes, int64_t S, int64_t L,
+                      uint8_t* out) {
+  int64_t W = (L + 1) / 2;
+  for (int64_t s = 0; s < S; s++) {
+    const uint8_t* row = codes + s * L;
+    uint8_t* o = out + s * W;
+    int64_t full = L / 2;
+    for (int64_t w = 0; w < full; w++) {
+      uint16_t v;  // codes < 16: (v | v>>4) & 0xFF == c0 | c1<<4
+      memcpy(&v, row + 2 * w, 2);
+      o[w] = (uint8_t)((v | (v >> 4)) & 0xFF);
+    }
+    if (full < W) o[full] = row[L - 1];
+  }
+}
+
+// Count of codes > 3 (N characters) — select_transport's sidecar decision.
+int64_t bgsa_count_n(const uint8_t* codes, int64_t n) {
+  int64_t c = 0;
+  for (int64_t i = 0; i < n; i++) c += codes[i] > 3;
+  return c;
+}
+
 }  // extern "C"
