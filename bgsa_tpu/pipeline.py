@@ -522,14 +522,20 @@ def run_bucketed(
                 writer.start_bucket(*ev[1:])
                 continue
             _, dev, real, bidx = ev
+            # Reference accounting split (cal_sse.c:485 vs its output
+            # thread): compute belongs to cal, the result download to
+            # write. A 4-byte fetch forces program completion without
+            # billing the full D2H (block_until_ready is unreliable on the
+            # remote tunnel).
             t = time.perf_counter()
-            host_scores = np.asarray(dev)[:, :real]
+            np.asarray(dev[0, 0])
             dt = time.perf_counter() - t
             stats.cal_time += dt
             while len(stats.bucket_cal_times) <= bidx:
                 stats.bucket_cal_times.append(0.0)
             stats.bucket_cal_times[bidx] += dt
             t = time.perf_counter()
+            host_scores = np.asarray(dev)[:, :real]
             if shard is not None:
                 writer_fp.write(host_scores.tobytes())
             else:
