@@ -638,6 +638,9 @@ def run_bucketed(
                 sync_dir, bucket_index, host_id,
                 max(time.perf_counter() - t_bucket, 1e-3),
             )
+        elif _test_sleep:
+            drain(0)
+            time.sleep(_test_sleep)  # test hook (SIGKILL-mid-run tests)
 
     drain(0)
     while events:  # trailing bucket records (empty shard slices)
