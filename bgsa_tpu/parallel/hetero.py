@@ -55,6 +55,10 @@ def run_hetero(
       even when None.
     dynamic: re-split every bucket from measured per-device wall times
       (the reference's ``-D``).
+
+    No resume support — same as the reference's in-process heterogeneous
+    mode (it has no restart logic anywhere); use the multi-host roles
+    (``--host`` + ``--resume``) for recoverable long runs.
     """
     n_dev = len(engines)
     stats = RunStats()
