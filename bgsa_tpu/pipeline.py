@@ -83,7 +83,12 @@ def _warm_executable(jax, ex, specs) -> None:
         args.append(payload[0])
     elif payload:
         args.append(tuple(payload))
-    jax.block_until_ready(ex(*args))
+    out = ex(*args)
+    # force completion with a 4-byte fetch: block_until_ready returns early
+    # through the remote tunnel (measured: a banded warm "completed" but the
+    # program-load episode still hit the first real fetch, 312s on bucket 0)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
 
 
 # Default database bucket: a quarter of the reference's READ_BUCKET_SIZE.
