@@ -5,7 +5,7 @@ script executes the real Mosaic compilations on the attached TPU and
 byte-compares scores against the oracles / behavioral reference — catches
 TPU-specific miscompiles the CPU suite cannot.
 
-Usage: python scripts/tpu_parity.py   (takes a few minutes: ~10 compiles)
+Usage: python scripts/tpu_parity.py [seed]   (first run compiles ~10 kernels)
 """
 
 import sys
@@ -25,7 +25,8 @@ def main():
     from bgsa_tpu.schemes import Mode, Scoring
 
     assert jax.default_backend() != "cpu", "attach a TPU (this is the on-chip check)"
-    rng = np.random.default_rng(42)
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 42
+    rng = np.random.default_rng(seed)
     failures = []
 
     def check(name, got, want):
