@@ -64,6 +64,17 @@ def main():
     check("bitpal packed semi",
           bitpal_packed.bitpal_packed(eq31, qd, semi_global=True, **kw), want_bps)
     check("bitpal non-packed global", bitpal.bitpal(eq31, qd, **kw), want_bp)
+    # other trace-time-generated networks: 3-plane packed and a scheme the
+    # packed decode can't cover (non-packed fallback)
+    s12 = Scoring(1, -2, -3)
+    check("bitpal packed (1,-2,-3)",
+          bitpal_packed.bitpal_packed(eq31, qd, match=1, mismatch=-2, gap=-3,
+                                      read_len=n),
+          np.stack([align_scores(qi, s, s12) for qi in q]))
+    s51 = Scoring(5, -1, -2)
+    check("bitpal non-packed (5,-1,-2)",
+          bitpal.bitpal(eq31, qd, match=5, mismatch=-1, gap=-2, read_len=n),
+          np.stack([align_scores(qi, s, s51) for qi in q]))
 
     # banded: s >= q (single stream), s < q (dual stream), Peq-carry
     mq, k = 120, 9

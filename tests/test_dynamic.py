@@ -166,3 +166,32 @@ def test_dynamic_requires_host(tmp_path, rng):
     rc = cli.main(["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "o.bin"),
                    "-D", "--quiet"])
     assert rc == 1
+
+
+def test_dynamic_ratio_schedule_in_stats(tmp_path, rng):
+    """-D records the ratio schedule actually used (stats.dynamic_ratios) —
+    the reference prints device_compute_ratio per round."""
+    import json
+
+    q = rng.integers(0, 4, size=(2, 20))
+    s = rng.integers(0, 4, size=(1500, 24))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    bucket_size = 256 * 25
+    shards = [str(tmp_path / f"sh{h}.bin") for h in range(2)]
+    stats_paths = [str(tmp_path / f"st{h}.json") for h in range(2)]
+    procs = [
+        _spawn_role(
+            ["-q", qp, "-d", sp, "-f", shards[h], "--host", f"{h}:2", "-D",
+             "--backend", "xla", "--bucket-size", str(bucket_size),
+             "--stats-json", stats_paths[h], "--quiet"],
+            {},
+        )
+        for h in range(2)
+    ]
+    _wait_ok(procs)
+    a = json.load(open(stats_paths[0]))["dynamic_ratios"]
+    b = json.load(open(stats_paths[1]))["dynamic_ratios"]
+    assert len(a) >= 2 and a == b  # identical schedule on every host
+    assert a[0] == [1.0, 1.0]
