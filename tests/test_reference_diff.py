@@ -131,6 +131,23 @@ def test_diff_positive_factor_vs_reference(tmp_path, seed):
     )
 
 
+@pytest.mark.skipif(not _have(ORIG), reason="reference binaries not built")
+def test_diff_length_one_sequences(tmp_path):
+    """Degenerate geometry: 1 bp queries and subjects, every family/mode
+    that has a compiled target — byte-identical converted output."""
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    open(qp, "w").write("A\nC\n")
+    open(sp, "w").write("A\nG\nT\nC\n")
+    cases = [(ORIG, [], False)]
+    if _have(AVX2):
+        cases.append((AVX2, ["-M", "2", "-I", "-3", "-G", "-5"], False))
+    if _have(SEMI):
+        cases.append((SEMI, ["--semi-global"], False))
+    for build, extra, banded in cases:
+        _compare(_run_ref(build, tmp_path, qp, sp),
+                 _run_ours(tmp_path, qp, sp, extra=extra, banded=banded))
+
+
 @pytest.mark.skipif(not _have(SEMIB), reason="semi-global BitPAl reference "
                     "not built (run tests/ref_kernels/build.sh)")
 @pytest.mark.parametrize("seed,packed", [(0, True), (1, False)])
