@@ -64,6 +64,8 @@ def main():
     check("bitpal packed semi",
           bitpal_packed.bitpal_packed(eq31, qd, semi_global=True, **kw), want_bps)
     check("bitpal non-packed global", bitpal.bitpal(eq31, qd, **kw), want_bp)
+    check("bitpal non-packed semi",
+          bitpal.bitpal(eq31, qd, semi_global=True, **kw), want_bps)
     # other trace-time-generated networks: 3-plane packed and a scheme the
     # packed decode can't cover (non-packed fallback)
     s12 = Scoring(1, -2, -3)
