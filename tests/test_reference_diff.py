@@ -132,6 +132,25 @@ def test_diff_positive_factor_vs_reference(tmp_path, seed):
 
 
 @pytest.mark.skipif(not _have(ORIG), reason="reference binaries not built")
+def test_converters_cross_read_each_others_files(tmp_path, ):
+    """Interop both directions: our convert on a reference-written result
+    pair, and the reference's convert on ours, emit identical text."""
+    rng = np.random.default_rng(31337)
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    _write(qp, rng, 3, 40)
+    _write(sp, rng, 300, 44)
+    res_r, conv_r = _run_ref(ORIG, tmp_path, qp, sp)
+    res_o, conv_o = _run_ours(tmp_path, qp, sp)
+    ours_on_ref = str(tmp_path / "ours_on_ref.txt")
+    assert cli.main(["convert", "-r", res_r, "-o", ours_on_ref]) == 0
+    assert open(ours_on_ref).read() == open(conv_r).read()
+    ref_on_ours = str(tmp_path / "ref_on_ours.txt")
+    subprocess.run([f"{ORIG}/convert", "-r", res_o, "-o", ref_on_ours],
+                   check=True, capture_output=True, cwd=str(tmp_path))
+    assert open(ref_on_ours).read() == open(conv_o).read()
+
+
+@pytest.mark.skipif(not _have(ORIG), reason="reference binaries not built")
 def test_diff_length_one_sequences(tmp_path):
     """Degenerate geometry: 1 bp queries and subjects, every family/mode
     that has a compiled target — byte-identical converted output."""
