@@ -132,7 +132,7 @@ def test_diff_positive_factor_vs_reference(tmp_path, seed):
 
 
 @pytest.mark.skipif(not _have(ORIG), reason="reference binaries not built")
-def test_converters_cross_read_each_others_files(tmp_path, ):
+def test_converters_cross_read_each_others_files(tmp_path):
     """Interop both directions: our convert on a reference-written result
     pair, and the reference's convert on ours, emit identical text."""
     rng = np.random.default_rng(31337)
