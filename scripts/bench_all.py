@@ -116,10 +116,22 @@ def main():
     rng.shuffle(sb, axis=0)
     il, ih, inj = map(jax.device_put, pack.pack_banded(sb, k, nb))
     qbd = jax.device_put(qb)
-    bfn = banded.banded if on_tpu else banded.banded_xla
     bkw = dict(q_len=nb, s_len=nb, k=k)
-    add("banded k=8 150bp", {"": lambda: bfn(il, ih, inj, qbd, **bkw)},
-        Qb * Sb, unit="M align/s", scale=1e6)
+    if on_tpu:
+        stream = jax.device_put(np.asarray(
+            jax.jit(pack.pack_banded_stream_jax, static_argnums=(1, 2))(sb, k, nb)
+        ))
+        streams2 = jax.device_put(np.asarray(
+            jax.jit(pack.pack_banded_streams_jax, static_argnums=(1, 2))(sb, k, nb)
+        ))
+        add("banded k=8 150bp", {
+            "stream (engine path)": lambda: banded.banded_stream(stream, qbd, **bkw),
+            "dual-stream": lambda: banded.banded_stream_dual(streams2, qbd, **bkw),
+            "peq-carry": lambda: banded.banded(il, ih, inj, qbd, **bkw),
+        }, Qb * Sb, unit="M align/s", scale=1e6)
+    else:
+        add("banded k=8 150bp", {"": lambda: banded.banded_xla(il, ih, inj, qbd, **bkw)},
+            Qb * Sb, unit="M align/s", scale=1e6)
 
     print()
     print("| Workload | Throughput |")
