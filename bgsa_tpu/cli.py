@@ -77,7 +77,14 @@ def align_main(argv=None) -> int:
                         "--host or -t")
     p.add_argument("--sync-dir", default=None, metavar="DIR",
                    help="shared directory for -D time exchange (default: the "
-                        "result file's directory)")
+                        "result file's directory). Time files are namespaced "
+                        "by a run token derived from the input files; only a "
+                        "byte-identical re-run of untouched inputs needs a "
+                        "fresh directory")
+    p.add_argument("--sync-timeout", type=float, default=None, metavar="SECS",
+                   help="-D: seconds to wait for a peer host's per-bucket "
+                        "time file before failing with a dead-peer error "
+                        "(default 120; the reference hangs forever)")
     p.add_argument("--bucket-size", type=int, default=None, help="database bucket bytes")
     p.add_argument("--stats-json", default=None, metavar="PATH",
                    help="also write run statistics as JSON")
@@ -138,6 +145,8 @@ def align_main(argv=None) -> int:
     }
     if args.bucket_size:
         cfg_kwargs["bucket_size"] = args.bucket_size
+    if args.sync_timeout is not None:
+        cfg_kwargs["sync_timeout"] = args.sync_timeout
     config = pl_mod.PipelineConfig(**cfg_kwargs)
     mode = Mode.SEMI_GLOBAL if args.semi_global else Mode.GLOBAL
     scoring = Scoring(args.match, args.mismatch, args.gap)
@@ -167,6 +176,15 @@ def align_main(argv=None) -> int:
     if args.devices and shard is not None:
         print("error: -t and --host are mutually exclusive (in-process devices "
               "vs multi-host roles)", file=sys.stderr)
+        return 1
+    if args.devices and (args.resume or args.sync_dir):
+        # run_hetero has no resume support (like the reference's in-process
+        # heterogeneous mode); silently restarting from scratch would
+        # overwrite the user's partial result file.
+        flag = "--resume" if args.resume else "--sync-dir"
+        print(f"error: {flag} is not supported with -t (in-process "
+              "heterogeneous runs restart from scratch; use --host roles "
+              "for recoverable runs)", file=sys.stderr)
         return 1
     if args.device_count is not None:
         if not args.devices or "+" in args.devices:

@@ -199,17 +199,47 @@ def merge_shards(result_path: str, shard_paths: list[str], metas: list[ShardMeta
                     offsets[h] += cnt
 
 
-def bucket_time_path(sync_dir: str, bucket: int, host_id: int) -> str:
-    return f"{sync_dir}/bgsa.bucket{bucket}.host{host_id}.time"
+def run_token(query_path: str, db_path: str, n_hosts: int,
+              ratios=None, bucket_size: int | None = None) -> str:
+    """Run-identity token namespacing the -D time files.
+
+    Every host derives the same token from shared run inputs (the query/db
+    files live on the shared filesystem in a multi-host deployment): file
+    basename + size + mtime, host count, initial ratios, bucket size —
+    anything that changes the ratio schedule or the data. Stale time files
+    from a *different* previous run in a reused sync_dir then never match,
+    so a late-starting host cannot consume a dead run's times and fork the
+    schedule. The one residual collision — re-running byte-identical,
+    untouched inputs into the same sync_dir — needs a fresh ``--sync-dir``
+    (documented on the CLI flag).
+    """
+    import hashlib
+    import os
+
+    parts = []
+    for p in (query_path, db_path):
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    parts.append(str(n_hosts))
+    parts.append(",".join(f"{float(r):.17g}" for r in (ratios or [])))
+    parts.append(str(bucket_size if bucket_size is not None else ""))
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
-def write_bucket_time(sync_dir: str, bucket: int, host_id: int, seconds: float) -> None:
+def bucket_time_path(sync_dir: str, bucket: int, host_id: int,
+                     token: str = "") -> str:
+    tag = f".{token}" if token else ""
+    return f"{sync_dir}/bgsa{tag}.bucket{bucket}.host{host_id}.time"
+
+
+def write_bucket_time(sync_dir: str, bucket: int, host_id: int, seconds: float,
+                      token: str = "") -> None:
     """Publish this host's measured compute time for one bucket (atomic,
     first write wins: a resumed host re-running a bucket must not rewrite a
     time its peers already consumed — the ratio schedule is append-only)."""
     import os
 
-    path = bucket_time_path(sync_dir, bucket, host_id)
+    path = bucket_time_path(sync_dir, bucket, host_id, token)
     if os.path.exists(path):
         return
     tmp = path + ".tmp"
@@ -219,7 +249,8 @@ def write_bucket_time(sync_dir: str, bucket: int, host_id: int, seconds: float) 
 
 
 def read_bucket_times(sync_dir: str, bucket: int, n_hosts: int,
-                      timeout: float = 3600.0, poll: float = 0.05) -> list[float]:
+                      timeout: float = 3600.0, poll: float = 0.05,
+                      token: str = "") -> list[float]:
     """Wait for every host's time file for one bucket and return the times.
 
     The dynamic mode's host synchronization point — the distributed analogue
@@ -233,12 +264,14 @@ def read_bucket_times(sync_dir: str, bucket: int, n_hosts: int,
     deadline = _time.monotonic() + timeout
     times: list[float] = []
     for h in range(n_hosts):
-        path = bucket_time_path(sync_dir, bucket, h)
+        path = bucket_time_path(sync_dir, bucket, h, token)
         while not os.path.exists(path):
             if _time.monotonic() >= deadline:
                 raise TimeoutError(
                     f"dynamic balancing: host {h} never published its time "
-                    f"for bucket {bucket} ({path}); did its role crash?"
+                    f"for bucket {bucket} ({path}) — did its role crash? "
+                    "(re-run that role with --resume, or restart all roles "
+                    "with a fresh --sync-dir)"
                 )
             _time.sleep(poll)
         with open(path) as f:
@@ -246,12 +279,13 @@ def read_bucket_times(sync_dir: str, bucket: int, n_hosts: int,
     return times
 
 
-def clear_bucket_times(sync_dir: str, host_id: int) -> None:
+def clear_bucket_times(sync_dir: str, host_id: int, token: str = "") -> None:
     """Remove this host's stale time files (fresh, non-resume runs)."""
     import glob
     import os
 
-    for p in glob.glob(f"{sync_dir}/bgsa.bucket*.host{host_id}.time"):
+    tag = f".{token}" if token else ""
+    for p in glob.glob(f"{sync_dir}/bgsa{tag}.bucket*.host{host_id}.time"):
         os.unlink(p)
 
 

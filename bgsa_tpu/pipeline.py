@@ -116,8 +116,9 @@ class PipelineConfig:
     # C kernels take any count; XLA compiles per shape).
     dynamic_grid: int = 8
     # -D: how long to wait for a peer's per-bucket time file before failing
-    # the run with a clear error (the reference would hang in its barrier).
-    sync_timeout: float = 3600.0
+    # the run with a clear error (the reference would hang in its barrier
+    # forever; a crashed peer should surface in minutes, not hours).
+    sync_timeout: float = 120.0
     # Packed bit-plane BitPAl: identical scores, +18% over non-packed on v5e
     # (falls back to non-packed where the packed decode doesn't apply).
     bitpal_packed: bool = True
@@ -430,6 +431,13 @@ def run_bucketed(
             from .parallel import multihost as mh
 
             sync_dir = sync_dir or (os.path.dirname(result_path) or ".")
+            # Time files carry a run-identity token so a reused sync_dir's
+            # stale files from a previous (different) run can never be read
+            # as this run's times (which would silently fork the schedule
+            # across hosts).
+            sync_token = mh.run_token(
+                query_path, db_path, n_hosts, shard_ratios, config.bucket_size
+            )
             chunk = v_num
             if db.bucket_count > 1:
                 chunk = v_num * max(
@@ -438,15 +446,23 @@ def run_bucketed(
             balancer = mh.DynamicBalancer(n_hosts, initial_ratios=shard_ratios)
             if done_buckets:
                 for b in range(done_buckets):
-                    if not os.path.exists(mh.bucket_time_path(sync_dir, b, host_id)):
+                    if not os.path.exists(
+                        mh.bucket_time_path(sync_dir, b, host_id, sync_token)
+                    ):
                         # Crashed after writing bucket b's scores but before
                         # publishing its time; peers are still blocked on this
                         # file, so a neutral re-publish keeps everyone moving
                         # on one consistent schedule.
-                        mh.write_bucket_time(sync_dir, b, host_id, 1.0)
-                    balancer.update(mh.read_bucket_times(sync_dir, b, n_hosts))
-            else:
-                mh.clear_bucket_times(sync_dir, host_id)
+                        mh.write_bucket_time(sync_dir, b, host_id, 1.0,
+                                             token=sync_token)
+                    balancer.update(mh.read_bucket_times(
+                        sync_dir, b, n_hosts, timeout=config.sync_timeout,
+                        token=sync_token,
+                    ))
+            elif not resume:
+                # A resumed role whose shard lost all buckets must still not
+                # delete time files its peers may have consumed already.
+                mh.clear_bucket_times(sync_dir, host_id, token=sync_token)
             dyn_ratios = list(balancer.ratios)
             pad_to = 0  # per-bucket chunk-aligned padding instead
         elif pad_to:
@@ -563,7 +579,7 @@ def run_bucketed(
                 # split (adjust_device_ratio3 between buckets, cal_all.c:1332).
                 times = mh.read_bucket_times(
                     sync_dir, bucket_index - 1, n_hosts,
-                    timeout=config.sync_timeout,
+                    timeout=config.sync_timeout, token=sync_token,
                 )
                 dyn_ratios = balancer.update(times)
             if dynamic:
@@ -639,9 +655,15 @@ def run_bucketed(
             drain(0)
             if _test_sleep:
                 time.sleep(_test_sleep)  # test hook: artificially slow host
+            # Flush the shard bytes to the OS before publishing the time: a
+            # published time must imply the bucket's scores survive a crash,
+            # or resume's file-size arbitration would replay the bucket and
+            # re-publish a different time than the one peers consumed.
+            writer_fp.flush()
             mh.write_bucket_time(
                 sync_dir, bucket_index, host_id,
                 max(time.perf_counter() - t_bucket, 1e-3),
+                token=sync_token,
             )
         elif _test_sleep:
             drain(0)

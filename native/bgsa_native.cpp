@@ -20,6 +20,14 @@
 #include <unistd.h>
 #include <vector>
 
+// The transport packers memcpy code bytes into uint16/uint32 and OR-fold
+// shifted copies, which assumes little-endian byte order (as does the raw
+// .info/result struct I/O below). A big-endian build would silently produce
+// a different packed layout than pack.two_bit_pack and corrupt every upload.
+#if defined(__BYTE_ORDER__) && (__BYTE_ORDER__ != __ORDER_LITTLE_ENDIAN__)
+#error "bgsa_native assumes a little-endian host (word-folded transport packers)"
+#endif
+
 namespace {
 
 // Fast signed-int-to-decimal into buf; returns chars written.

@@ -90,9 +90,11 @@ def test_dynamic_rebalances_and_merges_byte_equal(tmp_path, rng):
         assert metas[0].block_counts[b] + metas[1].block_counts[b] > 0
 
     # the published schedule converged toward the timing ratio
+    token = multihost.run_token(qp, sp, 2, None, bucket_size)
     bal = multihost.DynamicBalancer(2)
     for b in range(len(metas[0].block_counts) - 1):
-        bal.update(multihost.read_bucket_times(str(tmp_path), b, 2, timeout=0))
+        bal.update(multihost.read_bucket_times(str(tmp_path), b, 2, timeout=0,
+                                               token=token))
     assert bal.ratios[1] < 0.3  # host 1 was ~20x slower
 
     merged = str(tmp_path / "merged.bin")
@@ -181,6 +183,15 @@ def test_dynamic_ratio_schedule_in_stats(tmp_path, rng):
     bucket_size = 256 * 25
     shards = [str(tmp_path / f"sh{h}.bin") for h in range(2)]
     stats_paths = [str(tmp_path / f"st{h}.json") for h in range(2)]
+    # Poison the sync dir with stale time files from "previous runs" (legacy
+    # un-tokened names and a wrong-token name, with absurd times): the
+    # run-token namespace must make them invisible, so the schedule below
+    # still starts at [1, 1] and stays host-identical.
+    for h in range(2):
+        with open(str(tmp_path / f"bgsa.bucket0.host{h}.time"), "w") as f:
+            f.write("1000.0\n")
+        with open(str(tmp_path / f"bgsa.feedfacefeed.bucket0.host{h}.time"), "w") as f:
+            f.write("0.001\n")
     procs = [
         _spawn_role(
             ["-q", qp, "-d", sp, "-f", shards[h], "--host", f"{h}:2", "-D",

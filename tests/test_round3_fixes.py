@@ -1,0 +1,102 @@
+"""Regressions for the round-3 advisor/judge items.
+
+* -D time files carry a run-identity token (stale files from a previous run
+  in a reused sync_dir must never be read as this run's times).
+* -t rejects --resume/--sync-dir instead of silently overwriting.
+* Dead-peer timeout raises a clear error naming the missing host file.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from bgsa_tpu import cli
+from bgsa_tpu.io import seqfile
+from bgsa_tpu.parallel import multihost
+
+
+def _write_inputs(tmp_path, rng, Q=2, m=20, S=200, n=20):
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    return qp, sp
+
+
+def test_run_token_identity(tmp_path, rng):
+    qp, sp = _write_inputs(tmp_path, rng)
+    t1 = multihost.run_token(qp, sp, 2, None, 1024)
+    # Deterministic across repeat derivations (every host must agree).
+    assert t1 == multihost.run_token(qp, sp, 2, None, 1024)
+    # Any schedule-relevant input changes the token.
+    assert t1 != multihost.run_token(qp, sp, 3, None, 1024)
+    assert t1 != multihost.run_token(qp, sp, 2, None, 2048)
+    assert t1 != multihost.run_token(qp, sp, 2, [1.0, 2.0], 1024)
+    # Touching the database file (new data, same name) changes the token.
+    st = os.stat(sp)
+    os.utime(sp, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert t1 != multihost.run_token(qp, sp, 2, None, 1024)
+
+
+def test_time_files_are_token_namespaced(tmp_path):
+    token = "abc123def456"
+    multihost.write_bucket_time(str(tmp_path), 0, 1, 2.5, token=token)
+    path = multihost.bucket_time_path(str(tmp_path), 0, 1, token)
+    assert os.path.basename(path) == f"bgsa.{token}.bucket0.host1.time"
+    assert os.path.exists(path)
+    # A stale legacy (un-tokened) file is invisible to tokened readers.
+    with open(multihost.bucket_time_path(str(tmp_path), 0, 0), "w") as f:
+        f.write("999.0\n")
+    with pytest.raises(TimeoutError, match="host 0 never published"):
+        multihost.read_bucket_times(str(tmp_path), 0, 2, timeout=0.05,
+                                    token=token)
+    # clear_bucket_times only touches this run's namespace.
+    multihost.clear_bucket_times(str(tmp_path), 1, token="othertoken99")
+    assert os.path.exists(path)
+    multihost.clear_bucket_times(str(tmp_path), 1, token=token)
+    assert not os.path.exists(path)
+
+
+def test_dead_peer_error_names_file(tmp_path):
+    t0 = time.perf_counter()
+    with pytest.raises(TimeoutError) as ei:
+        multihost.read_bucket_times(str(tmp_path), 3, 2, timeout=0.2,
+                                    token="deadbeef0123")
+    assert time.perf_counter() - t0 < 5.0  # fails fast, not after an hour
+    msg = str(ei.value)
+    assert "bucket3" in msg and "host0" in msg and "--sync-dir" in msg
+
+
+def test_cli_rejects_resume_with_hetero(tmp_path, rng, capsys):
+    qp, sp = _write_inputs(tmp_path, rng)
+    out = str(tmp_path / "o.bin")
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", out,
+                   "-t", "cpu+cpu", "--resume", "--quiet"])
+    assert rc == 1
+    assert "--resume" in capsys.readouterr().err
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", out,
+                   "-t", "cpu+cpu", "--sync-dir", str(tmp_path), "--quiet"])
+    assert rc == 1
+    assert "--sync-dir" in capsys.readouterr().err
+
+
+def test_cli_sync_timeout_flag(tmp_path, rng, monkeypatch):
+    """--sync-timeout reaches PipelineConfig (the dead-peer knob)."""
+    qp, sp = _write_inputs(tmp_path, rng)
+    seen = {}
+    from bgsa_tpu import pipeline as pl_mod
+
+    real = pl_mod.run_alignment
+
+    def spy(*a, **kw):
+        seen["timeout"] = a[5].sync_timeout if len(a) > 5 else kw["config"].sync_timeout
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pl_mod, "run_alignment", spy)
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "o.bin"),
+                   "--backend", "xla", "--sync-timeout", "7.5", "--quiet"])
+    assert rc == 0
+    assert seen["timeout"] == 7.5
