@@ -22,10 +22,11 @@ class BandedEngine:
     Same surface as pipeline.Engine: ``scores(query_codes, subject_codes)``.
     Subjects travel nibble-packed; the banded packing (64-bit Peq window +
     injection stream) runs on the VPU inside the jitted step (the reference
-    burns host cores in its banded handle_reads).
+    burns host cores in its banded handle_reads). Local multi-chip rides the
+    same shard_map path as Engine (subjects sharded, stream packing
+    shard-local) — the reference's banded KNC port drives all devices from
+    one process too (``banded/BGSA_KNC/cal_all.c:134-771``).
     """
-
-    n_shards = 1  # banded runs shard across hosts, not local chips
 
     def __init__(self, threshold: int, config: PipelineConfig, device=None):
         import jax
@@ -43,6 +44,9 @@ class BandedEngine:
                 on_tpu = False
             backend = "pallas" if on_tpu or config.interpret else "xla"
         self.backend = backend
+        from .pipeline import _local_mesh
+
+        self.n_shards, self.mesh = _local_mesh(jax, config)
         self._step = functools.lru_cache(maxsize=None)(self._build_step)
         self._exec: dict = {}  # AOT-compiled executables per batch geometry
 
@@ -54,8 +58,7 @@ class BandedEngine:
 
         unpack = pack.transport_unpack_jax(transport)
 
-        @jax.jit
-        def step(qcodes, packed):
+        def step_local(qcodes, packed):
             scodes = unpack(packed, s_len)
             kw = dict(q_len=q_len, s_len=s_len, k=k)
             if self.backend == "pallas":
@@ -76,7 +79,12 @@ class BandedEngine:
                 s = banded_ops.banded_xla(*args, qcodes, **kw)
             return s.astype(jnp.int8)
 
-        return step
+        if self.mesh is not None:
+            from .pipeline import _shard_map_step
+
+            step_local = _shard_map_step(step_local, self.mesh, transport)
+
+        return jax.jit(step_local)
 
     def compile_for(self, nq: int, q_len: int, rows: int, s_len: int,
                     transport: str, sidecar: int = 0) -> None:
@@ -114,7 +122,9 @@ class BandedEngine:
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int8 error counts."""
-        transport, payload = pack.select_transport(subject_codes)
+        transport, payload = pack.select_transport(
+            subject_codes, n_shards=self.n_shards
+        )
         return self.scores_packed(
             query_codes, transport, payload, subject_codes.shape[1]
         )

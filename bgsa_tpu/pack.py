@@ -154,23 +154,51 @@ def two_bit_unpack_jax(packed, length: int):
 
 
 # N-position sidecar rows are padded to this granularity so the device step
-# compiles for a bounded set of sidecar shapes.
+# compiles for a bounded set of sidecar shapes (per-shard granularity shrinks
+# with the shard count so the padded total stays ~constant).
 SIDECAR_QUANT = 1024
 
 
-def sidecar_pack(codes: np.ndarray) -> np.ndarray:
+def _sidecar_quant(n_shards: int) -> int:
+    return max(SIDECAR_QUANT // n_shards, 128)
+
+
+def sidecar_pack(codes: np.ndarray, n_shards: int = 1) -> np.ndarray:
     """(K', 2) int32 positions of the N characters (row, col), K' padded up
-    to a SIDECAR_QUANT multiple with out-of-range rows (scatter-dropped)."""
-    rows, cols = np.nonzero(np.asarray(codes) > 3)
-    k = len(rows)
-    padded = max(-(-k // SIDECAR_QUANT), 1) * SIDECAR_QUANT
-    pos = np.full((padded, 2), codes.shape[0], np.int32)  # row == S -> dropped
-    pos[:k, 0] = rows
-    pos[:k, 1] = cols
+    to a quant multiple with out-of-range rows (scatter-dropped).
+
+    With ``n_shards > 1`` the batch is row-split into n_shards equal groups
+    (the shard_map layout) and the result is the concatenation of n_shards
+    equal-size per-shard position lists with *shard-local* row indices —
+    sharding the sidecar on axis 0 then hands each device exactly its own
+    N fix-ups, so the 2bit+sidecar transport works under shard_map (the
+    scatter is shard-local, no global indices cross device boundaries).
+    """
+    codes = np.asarray(codes)
+    S = codes.shape[0]
+    quant = _sidecar_quant(n_shards)
+    if n_shards == 1:
+        rows, cols = np.nonzero(codes > 3)
+        k = len(rows)
+        padded = max(-(-k // quant), 1) * quant
+        pos = np.full((padded, 2), S, np.int32)  # row == S -> dropped
+        pos[:k, 0] = rows
+        pos[:k, 1] = cols
+        return pos
+    if S % n_shards:
+        raise ValueError(f"sidecar_pack: {S} rows not divisible by {n_shards} shards")
+    per = S // n_shards
+    parts = [np.nonzero(codes[i * per : (i + 1) * per] > 3) for i in range(n_shards)]
+    k_pad = max(-(-max(len(r) for r, _ in parts) // quant), 1) * quant
+    pos = np.full((n_shards * k_pad, 2), per, np.int32)  # row == per -> dropped
+    for i, (r, c) in enumerate(parts):
+        pos[i * k_pad : i * k_pad + len(r), 0] = r
+        pos[i * k_pad : i * k_pad + len(r), 1] = c
     return pos
 
 
-def select_transport(codes: np.ndarray, allow_sidecar: bool = True):
+def select_transport(codes: np.ndarray, allow_sidecar: bool = True,
+                     n_shards: int = 1):
     """Pick the host->device subject encoding for a batch.
 
     * N-free: 4 codes/byte ("2bit").
@@ -180,8 +208,10 @@ def select_transport(codes: np.ndarray, allow_sidecar: bool = True):
     * otherwise: 2 codes/byte ("nib").
 
     Returns (name, payload); pair with transport_unpack_jax(name) on the
-    device side. ``allow_sidecar=False`` restricts to the single-array
-    transports (the local shard_map path can't scatter global indices).
+    device side. ``n_shards`` pre-splits the sidecar into shard-local
+    position lists (see sidecar_pack) so every multi-device path rides the
+    cheap transport; ``allow_sidecar=False`` restricts to the single-array
+    transports.
     """
     codes = np.asarray(codes)
     from . import native
@@ -195,10 +225,13 @@ def select_transport(codes: np.ndarray, allow_sidecar: bool = True):
         return "2bit", two_bit_pack(codes)
     S, L = codes.shape
     delta = S * (-(-L // 2) - (-(-L // 4)))  # nibble bytes minus 2bit bytes
-    sidecar_rows = max(-(-n_count // SIDECAR_QUANT), 1) * SIDECAR_QUANT
-    if allow_sidecar and sidecar_rows * 8 <= delta:
-        clean = np.where(codes > 3, 0, codes).astype(np.uint8)
-        return "2bitN", (two_bit_pack(clean), sidecar_pack(codes))
+    # Cheap lower bound on the padded sidecar size gates the exact check.
+    min_rows = n_shards * _sidecar_quant(n_shards)
+    if allow_sidecar and min_rows * 8 <= delta and n_count * 8 <= delta:
+        pos = sidecar_pack(codes, n_shards)
+        if pos.shape[0] * 8 <= delta:
+            clean = np.where(codes > 3, 0, codes).astype(np.uint8)
+            return "2bitN", (two_bit_pack(clean), pos)
     return "nib", nibble_pack(codes)
 
 

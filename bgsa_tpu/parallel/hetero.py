@@ -107,6 +107,9 @@ def run_hetero(
 
     device_times = [0.0] * n_dev
     slow_hooks = [getattr(e, "test_sleep", 0.0) for e in engines]
+    # Sidecar geometries a device's jit cache has already compiled (the
+    # pre-bucket ensure_warm can't know sidecar sizes).
+    warmed_geom: list[set] = [set() for _ in range(n_dev)]
 
     for bucket in db:
         counts = split_counts(bucket.count, n_dev, chunk, cur_ratios)
@@ -115,11 +118,41 @@ def run_hetero(
         for d in range(n_dev):
             ensure_warm(d, pads[d])
 
+        # Pack every device's slice on the main thread (the reference's
+        # handle_reads phase runs before its compute section too), and warm
+        # any new sidecar geometry — pinned engines trace through jit, so a
+        # first-call compile inside the timed worker would distort the
+        # balancer's measurement for this bucket.
+        slices: list = [None] * n_dev
+        for d in range(n_dev):
+            if not counts[d]:
+                continue
+            t0 = time.perf_counter()
+            codes = bucket.codes[starts[d] : starts[d] + counts[d]]
+            if counts[d] < pads[d]:
+                codes = np.concatenate(
+                    [codes, np.zeros((pads[d] - counts[d], codes.shape[1]),
+                                     codes.dtype)]
+                )
+            transport, packed = pack.select_transport(codes)
+            stats.pack_time += time.perf_counter() - t0
+            if transport == "2bitN":
+                key = (codes.shape, packed[1].shape)
+                if key not in warmed_geom[d]:
+                    warmed_geom[d].add(key)
+                    t0 = time.perf_counter()
+                    zeros = tuple(np.zeros(p.shape, p.dtype) for p in packed)
+                    for nq in sorted({qb.shape[0] for qb in q_buckets}):
+                        np.asarray(engines[d].scores_packed(
+                            q_buckets[0][:nq], transport, zeros, codes.shape[1]
+                        ))
+                    stats.compile_time += time.perf_counter() - t0
+            slices[d] = (transport, packed, codes.shape[1])
+
         # One worker per device — the reference's `omp parallel
         # num_threads(devices)` section (cal_all.c:564-606). Each worker
-        # packs its slice, dispatches every query bucket, and blocks on the
-        # fetch; results land in a (device, q_bucket) grid for ordered
-        # writing afterwards.
+        # dispatches every query bucket and blocks on the fetch; results
+        # land in a (device, q_bucket) grid for ordered writing afterwards.
         results: list[list] = [[None] * len(q_buckets) for _ in range(n_dev)]
         times = [1e-3] * n_dev
         errs: list = [None] * n_dev
@@ -127,24 +160,14 @@ def run_hetero(
         def worker(d: int):
             try:
                 t0 = time.perf_counter()
-                cnt = counts[d]
-                if cnt:
-                    codes = bucket.codes[starts[d] : starts[d] + cnt]
-                    if cnt < pads[d]:
-                        codes = np.concatenate(
-                            [codes, np.zeros((pads[d] - cnt, codes.shape[1]),
-                                             codes.dtype)]
-                        )
-                    # single-array transports only: a new sidecar shape would
-                    # jit-compile inside the timed section and distort the
-                    # balancer's measurement for this bucket
-                    transport, packed = pack.select_transport(codes, allow_sidecar=False)
+                if slices[d] is not None:
+                    transport, packed, s_len = slices[d]
                     devs = [
-                        engines[d].scores_packed(qb, transport, packed, codes.shape[1])
+                        engines[d].scores_packed(qb, transport, packed, s_len)
                         for qb in q_buckets
                     ]
                     for i, dv in enumerate(devs):
-                        results[d][i] = np.asarray(dv)[:, :cnt]
+                        results[d][i] = np.asarray(dv)[:, : counts[d]]
                 if slow_hooks[d]:
                     time.sleep(slow_hooks[d])  # test hook
                 times[d] = max(time.perf_counter() - t0, 1e-3)

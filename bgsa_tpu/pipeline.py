@@ -91,6 +91,47 @@ def _warm_executable(jax, ex, specs) -> None:
     np.asarray(leaf[(0,) * leaf.ndim])
 
 
+def _local_mesh(jax, config):
+    """(n_shards, mesh) for the local multi-chip path (``--shards``).
+
+    The reference's one-process-drives-N-devices layer (cal_all.c:134-771)
+    becomes a 1-axis jax Mesh over the first n local devices; None mesh for
+    the single-device case.
+    """
+    n = config.local_shards
+    if n == 0:
+        try:
+            n = len(jax.local_devices())
+        except RuntimeError:
+            n = 1
+    n = max(n, 1)
+    if n == 1:
+        return 1, None
+    from jax.sharding import Mesh
+
+    return n, Mesh(np.asarray(jax.local_devices()[:n]), ("subjects",))
+
+
+def _shard_map_step(step_local, mesh, transport: str):
+    """Wrap a (qcodes, payload) scoring step in shard_map over ``mesh``:
+    subjects sharded, queries replicated, pack + kernel shard-local (no
+    collectives on the hot path). The "2bitN" payload is a (packed, pos)
+    tuple whose sidecar rows are pre-split per shard (pack.sidecar_pack),
+    so both leaves shard on axis 0."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rows = P("subjects", None)
+    payload_spec = (rows, rows) if transport == "2bitN" else rows
+    return shard_map(
+        step_local,
+        mesh=mesh,
+        in_specs=(P(None, None), payload_spec),
+        out_specs=P(None, "subjects"),
+        check_vma=False,
+    )
+
+
 # Default database bucket: a quarter of the reference's READ_BUCKET_SIZE.
 # With its full 115 MB (~760k x 150bp rows) the lag-1 drain keeps two
 # near-HBM-capacity programs in flight and the remote service stalls the
@@ -149,21 +190,7 @@ class Engine:
                 on_tpu = False
             backend = "pallas" if on_tpu or config.interpret else "xla"
         self.backend = backend
-        n = config.local_shards
-        if n == 0:
-            try:
-                n = len(jax.local_devices())
-            except RuntimeError:
-                n = 1
-        self.n_shards = max(n, 1)
-        if self.n_shards > 1:
-            from jax.sharding import Mesh
-
-            self.mesh = Mesh(
-                np.asarray(jax.local_devices()[: self.n_shards]), ("subjects",)
-            )
-        else:
-            self.mesh = None
+        self.n_shards, self.mesh = _local_mesh(jax, config)
         self._step = functools.lru_cache(maxsize=None)(self._build_step)
         self._exec: dict = {}  # AOT-compiled executables per batch geometry
 
@@ -240,16 +267,7 @@ class Engine:
             # Local multi-chip: subjects sharded over the device mesh, queries
             # replicated — the reference's per-device bucket split (R10), with
             # pack + kernel running shard-local (no collectives on the hot path).
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            step_local = shard_map(
-                step_local,
-                mesh=self.mesh,
-                in_specs=(P(None, None), P("subjects", None)),
-                out_specs=P(None, "subjects"),
-                check_vma=False,
-            )
+            step_local = _shard_map_step(step_local, self.mesh, transport)
 
         return jax.jit(step_local)
 
@@ -302,7 +320,7 @@ class Engine:
         production bottleneck).
         """
         transport, payload = pack.select_transport(
-            subject_codes, allow_sidecar=self.mesh is None
+            subject_codes, n_shards=self.n_shards
         )
         return self.scores_packed(
             query_codes, transport, payload, subject_codes.shape[1]
@@ -619,11 +637,11 @@ def run_bucketed(
             # Host-side transport packing, once per bucket (reused across
             # query buckets) — the analogue of the reference's pack phase,
             # billed to mem_total_time like its *_handle_reads
-            # (cal_sse.c:469-487). The sidecar transport needs global row
-            # scatter, which the local shard_map path can't do.
+            # (cal_sse.c:469-487). Under shard_map the sidecar is pre-split
+            # into shard-local position lists (pack.sidecar_pack).
             t0 = time.perf_counter()
             transport, payload = pack.select_transport(
-                codes, allow_sidecar=getattr(engine, "mesh", None) is None
+                codes, n_shards=engine.n_shards
             )
             stats.pack_time += time.perf_counter() - t0
             if hasattr(engine, "compile_for"):

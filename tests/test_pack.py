@@ -110,7 +110,7 @@ def test_pipeline_rare_n_uses_sidecar(tmp_path, rng):
     seqfile.write_seq_file(sp, s)
     a, b = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
     pl_mod.run_alignment(qp, sp, a, config=pl_mod.PipelineConfig(backend="xla"))
-    # local_shards path disallows the sidecar -> nibble; scores must agree
+    # local_shards rides the sidecar too (pre-split per shard); scores agree
     import jax
 
     shards = min(2, len(jax.devices()))
