@@ -113,6 +113,10 @@ def run_hetero(
 
     for bucket in db:
         counts = split_counts(bucket.count, n_dev, chunk, cur_ratios)
+        if dynamic:
+            # Applied ratio schedule (the reference prints its
+            # device_compute_ratio per round); also what the tests replay.
+            stats.dynamic_ratios.append(list(cur_ratios))
         starts = np.cumsum([0] + counts[:-1])
         pads = [-(-c // chunk) * chunk for c in counts]
         for d in range(n_dev):

@@ -8,10 +8,46 @@
 #   pos_cpu  — the committed global kernel with factor = +1, i.e. the
 #              (0, 1, 1) positive-score scheme the generator normalizes to
 #              (main/Main.java:253-257)
+#   balancer — the verbatim adjust_device_ratio3 (the -D load balancer,
+#              original/BGSA_KNC/global.c:120-168) extracted at build time
+#              and wrapped in the driver-semantics trace harness
+#              (balancer_harness.c); regen_balancer_trace.py drives it to
+#              rewrite tests/golden/balancer_trace.json
+#
+# Second argument limits the build to one target (e.g. `build.sh '' balancer`).
 set -e
 HERE=$(dirname "$0")
 BUILD=${1:-/tmp/ref-build}
+ONLY=${2:-all}
 SRC=/root/reference/original/BGSA_CPU
+
+build_balancer() {
+    rm -rf "$BUILD/balancer"
+    mkdir -p "$BUILD/balancer"
+    python3 - /root/reference/original/BGSA_KNC/global.c "$BUILD/balancer/ref_adjust3.inc" <<'PYEOF'
+import sys
+src, dst = sys.argv[1], sys.argv[2]
+s = open(src).read()
+start = s.index("void adjust_device_ratio3")
+depth = 0
+for j in range(s.index("{", start), len(s)):
+    if s[j] == "{":
+        depth += 1
+    elif s[j] == "}":
+        depth -= 1
+        if depth == 0:
+            break
+open(dst, "w").write(s[start : j + 1] + "\n")
+PYEOF
+    cp "$HERE/balancer_harness.c" "$BUILD/balancer/"
+    (cd "$BUILD/balancer" && gcc -O2 -o balancer_harness balancer_harness.c)
+}
+
+if [ "$ONLY" = "balancer" ]; then
+    build_balancer
+    echo "built: $BUILD/balancer"
+    exit 0
+fi
 
 rm -rf "$BUILD/semi_cpu" "$BUILD/pos_cpu"
 cp -r "$SRC" "$BUILD/semi_cpu"
@@ -50,4 +86,6 @@ for old, new in subs:
 open(p, "w").write(s)
 PYEOF
 (cd "$BUILD/semib_avx2" && make cc=gcc >/dev/null)
-echo "built: $BUILD/semi_cpu $BUILD/pos_cpu $BUILD/semib_avx2"
+
+build_balancer
+echo "built: $BUILD/semi_cpu $BUILD/pos_cpu $BUILD/semib_avx2 $BUILD/balancer"

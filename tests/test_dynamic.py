@@ -82,20 +82,27 @@ def test_dynamic_rebalances_and_merges_byte_equal(tmp_path, rng):
     _wait_ok(procs)
 
     metas = [multihost.ShardMeta.load(p + ".meta.json") for p in shards]
-    # bucket 0 split evenly; later buckets shifted toward the fast host
+    # bucket 0 split evenly
     assert metas[0].block_counts[0] == metas[1].block_counts[0] == 512
-    assert metas[1].block_counts[-2] < metas[1].block_counts[0]
-    assert metas[0].block_counts[-2] > metas[0].block_counts[0]
     for b in range(len(metas[0].block_counts)):
         assert metas[0].block_counts[b] + metas[1].block_counts[b] > 0
 
-    # the published schedule converged toward the timing ratio
+    # Wall-clock-insensitive schedule checks: replaying the published times
+    # must (a) push every post-measurement ratio below 1 — host 1's time is
+    # its wall time plus a 0.2 s sleep, so it is measurably slower whatever
+    # the box load — and (b) reproduce both hosts' applied splits exactly.
     token = multihost.run_token(qp, sp, 2, None, bucket_size)
     bal = multihost.DynamicBalancer(2)
-    for b in range(len(metas[0].block_counts) - 1):
-        bal.update(multihost.read_bucket_times(str(tmp_path), b, 2, timeout=0,
-                                               token=token))
-    assert bal.ratios[1] < 0.3  # host 1 was ~20x slower
+    n_buckets = len(metas[0].block_counts)
+    ratios = [list(bal.ratios)]
+    for b in range(n_buckets - 1):
+        ratios.append(bal.update(multihost.read_bucket_times(
+            str(tmp_path), b, 2, timeout=0, token=token)))
+    assert all(r[1] < 1.0 for r in ratios[1:])
+    for b, r in enumerate(ratios):
+        total = metas[0].block_counts[b] + metas[1].block_counts[b]
+        assert [m.block_counts[b] for m in metas] == \
+            multihost.split_counts(total, 2, 128, r)
 
     merged = str(tmp_path / "merged.bin")
     multihost.merge_shards(merged, shards, metas)
