@@ -93,16 +93,22 @@ def run_hetero(
     )
 
     warmed: list[set] = [set() for _ in range(n_dev)]
+    # Pre-warm the nibble step only when the tail bucket carries 'N' lane
+    # pads (same policy as run_bucketed; other N geometries warm lazily).
+    warm_fills = (0, 4) if db.bucket_counts()[-1][1] else (0,)
 
     def ensure_warm(dev: int, rows: int) -> None:
         if not rows or rows in warmed[dev]:
             return
         warmed[dev].add(rows)
         t0 = time.perf_counter()
-        for fill in (0, 4):
+        for fill in warm_fills:
             dummy = np.full((rows, db.length), fill, np.uint8)
             for nq in sorted({qb.shape[0] for qb in q_buckets}):
                 engines[dev].scores(queries[:nq], dummy).block_until_ready()
+            warmed_geom[dev].add(
+                ("2bit" if fill == 0 else "nib", (rows, db.length), None)
+            )
         stats.compile_time += time.perf_counter() - t0
 
     device_times = [0.0] * n_dev
@@ -140,17 +146,19 @@ def run_hetero(
                 )
             transport, packed = pack.select_transport(codes)
             stats.pack_time += time.perf_counter() - t0
-            if transport == "2bitN":
-                key = (codes.shape, packed[1].shape)
-                if key not in warmed_geom[d]:
-                    warmed_geom[d].add(key)
-                    t0 = time.perf_counter()
-                    zeros = tuple(np.zeros(p.shape, p.dtype) for p in packed)
-                    for nq in sorted({qb.shape[0] for qb in q_buckets}):
-                        np.asarray(engines[d].scores_packed(
-                            q_buckets[0][:nq], transport, zeros, codes.shape[1]
-                        ))
-                    stats.compile_time += time.perf_counter() - t0
+            key = (transport, codes.shape,
+                   packed[1].shape if isinstance(packed, tuple) else None)
+            if key not in warmed_geom[d]:
+                warmed_geom[d].add(key)
+                t0 = time.perf_counter()
+                parts = packed if isinstance(packed, tuple) else (packed,)
+                zeros = tuple(np.zeros(p.shape, p.dtype) for p in parts)
+                payload = zeros if isinstance(packed, tuple) else zeros[0]
+                for nq in sorted({qb.shape[0] for qb in q_buckets}):
+                    np.asarray(engines[d].scores_packed(
+                        q_buckets[0][:nq], transport, payload, codes.shape[1]
+                    ))
+                stats.compile_time += time.perf_counter() - t0
             slices[d] = (transport, packed, codes.shape[1])
 
         # One worker per device — the reference's `omp parallel

@@ -498,16 +498,21 @@ def run_bucketed(
     # Compile up front against the run's bucket shape so cal_time is
     # steady-state kernel time (the reference has no compile phase) — also
     # for single-bucket runs, whose shape is known from the file geometry.
-    # Both transports are warmed: N-free buckets ride the 2-bit path,
-    # but the final bucket carries the reference's 'N' lane pads.
+    # N-free buckets ride the 2-bit path; the nibble step is pre-warmed only
+    # when the file geometry says the final bucket carries the reference's
+    # 'N' lane pads (file.c's extra_count) — data-driven N buckets (dense N
+    # -> nib, rare N -> 2bitN sidecar shapes) compile lazily in the loop,
+    # outside cal_time, like every geometry the pre-warm can't know. This
+    # halves the AOT warm-up cost for lane-aligned datasets (compiles are
+    # multi-minute on the remote TPU service).
     warmed: set[int] = set()
+    warm_transports = ("2bit", "nib") if db.bucket_counts()[-1][1] else ("2bit",)
 
     def ensure_warm(rows: int) -> None:
-        """Warm-compile both transports at this batch shape (idempotent).
-
-        AOT compile only — no dummy execution (engines expose compile_for;
-        a custom engine without it falls back to a dummy-bucket run).
-        """
+        """Warm-compile the predictable transports at this batch shape
+        (idempotent). AOT compile only — no dummy execution (engines expose
+        compile_for; a custom engine without it falls back to a dummy-bucket
+        run)."""
         if not rows or rows in warmed:
             return
         warmed.add(rows)
@@ -516,11 +521,12 @@ def run_bucketed(
         if hasattr(engine, "compile_for"):
             # (parallel compile threads were tried here: the remote compile
             # service serializes requests, so they bought nothing)
-            for transport in ("2bit", "nib"):
+            for transport in warm_transports:
                 for nq in nqs:
                     engine.compile_for(nq, queries.shape[1], rows, db.length, transport)
         else:
-            for fill in (0, 4):
+            fills = (0, 4) if len(warm_transports) == 2 else (0,)
+            for fill in fills:
                 dummy = np.full((rows, db.length), fill, np.uint8)
                 for nq in nqs:
                     engine.scores(queries[:nq], dummy).block_until_ready()

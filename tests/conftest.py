@@ -23,7 +23,10 @@ _cache_dir = os.environ.get("BGSA_TEST_JAX_CACHE", "/tmp/bgsa_test_jax_cache")
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.1 s: the suite's many small XLA CPU steps (0.1-1 s compiles) are
+    # exactly the band that re-pays every run without the cache; a cache
+    # read costs ~10-30 ms against that.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 except Exception:
     pass  # cache is best-effort
 

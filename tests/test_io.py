@@ -107,8 +107,8 @@ def test_convert_dtype_inference(tmp_path, rng):
     from bgsa_tpu.io import result as result_io, seqfile
     from bgsa_tpu.pipeline import PipelineConfig, run_alignment
 
-    q = rng.integers(0, 4, size=(2, 40))
-    s = rng.integers(0, 4, size=(300, 40))
+    q = rng.integers(0, 4, size=(2, 28))
+    s = rng.integers(0, 4, size=(256, 28))
     qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
     seqfile.write_seq_file(qp, q)
     seqfile.write_seq_file(sp, s)
@@ -123,11 +123,11 @@ def test_convert_dtype_inference(tmp_path, rng):
     assert open(a).read() == open(b).read()
 
     banded = str(tmp_path / "band.bin")
-    run_banded(qp, sp, banded, 6, cfg)
+    run_banded(qp, sp, banded, 5, cfg)
     assert result_io.infer_write_dtype(banded) == np.int8
     c = str(tmp_path / "c.txt")
     result_io.convert_result(banded, c, write_dtype=None)
-    assert len(open(c).read().splitlines()) == 600
+    assert len(open(c).read().splitlines()) == 512
 
 
 def test_cli_accepts_fastx_inputs(tmp_path, rng):

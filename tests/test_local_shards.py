@@ -84,7 +84,7 @@ def test_cli_banded_shards_byte_equal(tmp_path, rng):
     from bgsa_tpu import cli
 
     q = rng.integers(0, 4, size=(3, 30))
-    s = rng.integers(0, 4, size=(1500, 35))
+    s = rng.integers(0, 4, size=(1024, 30))
     qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
     seqfile.write_seq_file(qp, q)
     seqfile.write_seq_file(sp, s)
