@@ -1,17 +1,21 @@
-"""Headline benchmark: unit-cost global Myers GCUPS on one TPU chip.
+"""Driver benchmark: one JSON line per kernel family on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline = 500 GCUPS, the reference's AVX512 per-socket unit-cost number
-(BASELINE.md; images/cpu.png read-off ~470-525 on a Xeon W-2123).
+Line 1 (headline): unit-cost global Myers. Lines 2-3: banded-Myers filter
+and packed BitPAl, so the round-over-round record catches regressions in
+every family, not just the flagship.
 
-Workload mirrors the reference's headline config: 500 bp queries x 500 bp
-subjects. Metric semantics follow the reference's "cal GCUPS" (kernel time
-only, original/BGSA_SSE/cal_sse.c:485): the scores are produced on device and
-their download belongs to the write path (the reference's output thread).
-Each timed sample chains K kernel calls into one device-side scalar so a
-single 4-byte fetch forces completion — block_until_ready is unreliable and
-a full D2H would bill the slow remote tunnel to the kernel. Samples are
-repeated and the median taken (the service has ±10% run-to-run variance).
+All three report the reference's "cal GCUPS" (kernel time only,
+original/BGSA_SSE/cal_sse.c:485): cells = ref_len * ref_count * read_len *
+subject_count — the banded reference bills the FULL matrix in its GCUPS too
+(banded/BGSA_SSE/cal_sse.c:487), so the banded line is comparable on the
+reference's own terms. vs_baseline = 500 GCUPS for each, the reference's
+AVX512 per-socket unit-cost number (BASELINE.md; the only published chart).
+
+Methodology (docs/PERF.md): each timed sample chains K kernel calls into one
+device-side scalar and fetches 4 bytes — block_until_ready is unreliable on
+the remote tunnel and a full D2H would bill the tunnel to the kernel.
+Medians over reps; the Myers headline re-measures once after a pause if it
+lands in one of the service's documented bad windows.
 """
 
 import json
@@ -23,12 +27,26 @@ import numpy as np
 BASELINE_GCUPS = 500.0
 
 
+def emit(metric, gcups):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(gcups, 1),
+                "unit": "GCUPS",
+                "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from bgsa_tpu import oracle, pack
-    from bgsa_tpu.ops import myers_semiglobal, myers_xla
+    from bgsa_tpu.ops import banded, bitpal_packed, myers_semiglobal, myers_xla
 
     try:
         on_tpu = jax.default_backend() == "tpu"
@@ -37,7 +55,7 @@ def main():
 
     if on_tpu:
         Q, m, S, n, K, reps = 40, 500, 32768, 500, 3, 6
-    else:  # CPU smoke fallback so the script always emits a line
+    else:  # CPU smoke fallback so the script always emits its lines
         Q, m, S, n, K, reps = 2, 100, 512, 100, 1, 3
 
     rng = np.random.default_rng(0)
@@ -45,6 +63,27 @@ def main():
     subjects = rng.integers(0, 4, size=(S, n))
     qd = jax.device_put(queries)
 
+    def sample_of(run):
+        def sample():
+            acc = jnp.int32(0)
+            for _ in range(K):
+                o = run()
+                acc = acc + o[0, 0] + o[-1, -1]
+            return np.asarray(acc)
+
+        return sample
+
+    def measure(run, reps=reps):
+        sample = sample_of(run)
+        sample()  # warm (forces the remote program load on first use)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sample()
+            times.append((time.perf_counter() - t0) / K)
+        return statistics.median(times)
+
+    # --- 1. unit-cost global Myers (headline) ---
     if on_tpu:
         # the pipeline's TPU path: full-word block kernel in global mode
         eq = jax.device_put(pack.pack_eq(subjects, 32))
@@ -60,25 +99,9 @@ def main():
     want = -oracle.edit_distances(queries[0], subjects[:4])
     assert (out[0, :4] == want).all(), (out[0, :4], want)
 
-    def sample():
-        acc = jnp.int32(0)
-        for _ in range(K):
-            o = run()
-            acc = acc + o[0, 0] + o[-1, -1]
-        return np.asarray(acc)  # one 4-byte fetch forces all K kernels
-
-    def measure():
-        sample()  # warm (forces the remote program load on first use)
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            sample()
-            times.append((time.perf_counter() - t0) / K)
-        return statistics.median(times)
-
     cells = Q * m * S * n
     t_first = time.perf_counter()
-    med = measure()
+    med = measure(run)
     first_wall = time.perf_counter() - t_first
     gcups = cells / med / 1e9
     if on_tpu and gcups < 3500 and first_wall < 120:
@@ -87,17 +110,45 @@ def main():
         # the better window's median. Skipped when even the first pass
         # crawled (a retry would risk the caller's timeout instead).
         time.sleep(90)
-        gcups = max(gcups, cells / measure() / 1e9)
-    print(
-        json.dumps(
-            {
-                "metric": "unit-cost Myers cal GCUPS (1 chip, 500bp x 500bp)",
-                "value": round(gcups, 1),
-                "unit": "GCUPS",
-                "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
-            }
-        )
+        gcups = max(gcups, cells / measure(run) / 1e9)
+    emit("unit-cost Myers cal GCUPS (1 chip, 500bp x 500bp)", gcups)
+
+    # --- 2. banded-Myers filter (k=8, 150bp reads) ---
+    k, nb = 8, 150
+    Sb, Qb = (65536, 8) if on_tpu else (1024, 2)
+    qb = rng.integers(0, 4, size=(Qb, nb)).astype(np.int32)
+    sb = rng.integers(0, 4, size=(Sb, nb))
+    for i in range(int(Sb * 0.3)):  # realistic filter mix: 30% near-matches
+        s2 = qb[i % Qb].copy()
+        pos = rng.choice(nb, size=rng.integers(0, 6), replace=False)
+        s2[pos] = rng.integers(0, 4, size=len(pos))
+        sb[i] = s2
+    rng.shuffle(sb, axis=0)
+    qbd = jax.device_put(qb)
+    bkw = dict(q_len=nb, s_len=nb, k=k)
+    if on_tpu:
+        stream = jax.device_put(np.asarray(
+            jax.jit(pack.pack_banded_stream_jax, static_argnums=(1, 2))(sb, k, nb)
+        ))
+        run_b = lambda: banded.banded_stream(stream, qbd, **bkw)
+    else:
+        il, ih, inj = map(jax.device_put, pack.pack_banded(sb, k, nb))
+        run_b = lambda: banded.banded_xla(il, ih, inj, qbd, **bkw)
+    emit(
+        "banded Myers k=8 cal GCUPS (150bp filter; full-matrix cells as the "
+        "reference bills it)",
+        Qb * nb * Sb * nb / measure(run_b) / 1e9,
     )
+
+    # --- 3. packed BitPAl (2,-3,-5) ---
+    bp = dict(match=2, mismatch=-3, gap=-5, read_len=n, factor=1)
+    if on_tpu:
+        eq31 = jax.device_put(pack.pack_eq(subjects, 31))
+        run_p = lambda: bitpal_packed.bitpal_packed(eq31, qd, **bp)
+    else:
+        eq31 = jax.device_put(pack.pack_eq(subjects, 31))
+        run_p = lambda: bitpal_packed.bitpal_packed_xla(eq31, qd, **bp)
+    emit("packed BitPAl (2,-3,-5) cal GCUPS (500bp)", cells / measure(run_p) / 1e9)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,10 @@ def align_main(argv=None) -> int:
                    help="local device shards (0 = all local devices)")
     p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=True,
                    help="packed bit-plane BitPAl representation (same scores; default on)")
+    p.add_argument("--carry", action="store_true",
+                   help="full-32-bit-word packed BitPAl with compare-carry "
+                        "adds (the reference KNC port's hardware-adc analogue; "
+                        "same scores, A/B numbers in docs/PERF.md)")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted run (skip completed buckets)")
     p.add_argument("--host", default=None, metavar="I:N",
@@ -142,6 +146,7 @@ def align_main(argv=None) -> int:
         "backend": args.backend,
         "local_shards": args.shards,
         "bitpal_packed": args.packed,
+        "bitpal_carry": args.carry,
     }
     if args.bucket_size:
         cfg_kwargs["bucket_size"] = args.bucket_size

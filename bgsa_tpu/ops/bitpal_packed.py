@@ -41,9 +41,18 @@ def _bits_num(p: BitpalParams) -> int:
     return max(max_length.bit_length() + 1, 2)
 
 
-def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
+def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int,
+                   word_bits: int = WORD_BITS):
     """One query column over all words. state_w: list per word of lists of
     nbits plane arrays. Returns new state (same structure).
+
+    ``word_bits=32`` selects the full-word compare-carry variant — the TPU
+    analogue of the reference's KNC hardware add-with-carry kernel
+    (``original/BGSA_KNC/align_core.c:1153`` ``_mm512_adc_epi32``; generator
+    path ``AVX512Intrinsics.java:92-94``): all 32 bits hold subject rows
+    (1/31 fewer words + denser planes) and the inter-word adder carry is
+    recovered with unsigned compares (``sum < addend``) instead of the
+    reserved bit 31. Identical scores either way.
 
     Implements the generated network's math
     (``original/BGSA_AVX512/align_core.c:19-485``) with the op-count surgery
@@ -61,11 +70,31 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
       rowbit) are never consumed and are not computed.
     """
     W = len(matches_w)
+    full = word_bits == 32
     minv, midv, maxv = p.minv, p.midv, p.maxv
-    CM = jnp.uint32((1 << WORD_BITS) - 1)
-    NEXT_HIGH = jnp.uint32(1 << (WORD_BITS - 1))  # bit 30 (next_high_one)
+    # With full words CM is all-ones and every "& CM" folds away at compile
+    # time; only the carry extractions need different code (below).
+    CM = jnp.uint32((1 << word_bits) - 1 if not full else 0xFFFFFFFF)
+    NEXT_HIGH = jnp.uint32(1 << (word_bits - 1))  # highest subject-row bit
     zeros = jnp.zeros_like(matches_w[0])
     top_plane = nbits - 1
+
+    def add_carry(a, b, cin, key):
+        """s = a + b + cin with the cross-word carry captured into
+        ``overflow[key]`` (skipped on the last word, whose carry-out is
+        never consumed)."""
+        if full:
+            s1 = a + b
+            s = s1 + cin
+            if key is not None:
+                # carry-out of a 32-bit add chain: the two partial adds
+                # cannot both wrap, so OR of the compares is exact.
+                overflow[key] = ((s1 < a) | (s < s1)).astype(jnp.uint32)
+        else:
+            s = a + b + cin
+            if key is not None:
+                overflow[key] = s >> word_bits
+        return s
 
     overflow = {}
     prevbit = {v: zeros for v in range(midv + 1, maxv + 1)}
@@ -127,10 +156,9 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
         # network as the non-packed kernel.
         dv_shift = {}
         init_max = dh[minv] & matches
-        s = init_max + dh[minv] + overflow.get(0, zeros)
+        s = add_carry(init_max, dh[minv], overflow.get(0, zeros),
+                      None if last_word else 0)
         dv_shift[maxv] = (s ^ dh[minv] ^ init_max) & CM
-        if not last_word:
-            overflow[0] = s >> WORD_BITS
         remain = dh[minv] ^ init_max
         dv_max_or_match = dv_shift[maxv] | matches
 
@@ -140,14 +168,19 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
             init_i = dh[cnt] & dv_max_or_match
             for x in range(1, maxv - i):
                 init_i = init_i | (dh[cnt - x] & dv_shift[maxv - x])
-            init_val = (init_i << 1) | prevbit[i]
-            if not last_word:
-                prevbit[i] = init_val >> WORD_BITS
-            init_val = init_val & CM
-            s = init_val + remain + overflow.get(oi, zeros)
+            if full:
+                carry_out = init_i >> 31  # top bit leaves the word pre-shift
+                init_val = (init_i << 1) | prevbit[i]
+                if not last_word:
+                    prevbit[i] = carry_out
+            else:
+                init_val = (init_i << 1) | prevbit[i]
+                if not last_word:
+                    prevbit[i] = init_val >> word_bits
+                init_val = init_val & CM
+            s = add_carry(init_val, remain, overflow.get(oi, zeros),
+                          None if last_word else oi)
             dv_shift[i] = (s ^ remain) & not_matches
-            if not last_word:
-                overflow[oi] = s >> WORD_BITS
             oi += 1
 
         if maxv > midv + 1:
@@ -197,7 +230,7 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
             sb = sumbit[i] & comp
             shifted.append((sb << 1) | rowbit[i])
             if not last_word:
-                rowbit[i] = (sb & NEXT_HIGH) >> (WORD_BITS - 1)
+                rowbit[i] = (sb & NEXT_HIGH) >> (word_bits - 1)
 
         # Subtract mapped(H) at the same row: add its negation, built from
         # the mark patterns (the generator's dhbit adjustment).
@@ -231,8 +264,9 @@ def _packed_column(state_w, matches_w, p: BitpalParams, nbits: int):
     return out
 
 
-def _packed_init(p: BitpalParams, nbits: int, shape, W, semi_global: bool):
-    CM = jnp.uint32((1 << WORD_BITS) - 1)
+def _packed_init(p: BitpalParams, nbits: int, shape, W, semi_global: bool,
+                 word_bits: int = WORD_BITS):
+    CM = jnp.uint32((1 << word_bits) - 1 if word_bits < 32 else 0xFFFFFFFF)
     if semi_global:
         pattern = p.minv & ((1 << nbits) - 1)  # stored(-(0 - minv)) = minv mod 2^n
     else:
@@ -243,9 +277,15 @@ def _packed_init(p: BitpalParams, nbits: int, shape, W, semi_global: bool):
     ]
 
 
-def _packed_global_score(state_w, p: BitpalParams, nbits: int, read_len, q_len, factor):
+def _packed_global_score(state_w, p: BitpalParams, nbits: int, read_len,
+                         q_len, factor, word_bits: int = WORD_BITS):
     """score = G*m + sum_rows(2^top*b_top - sum_low 2^i*b_i - |G|)."""
-    masks = _valid_masks(read_len, len(state_w))
+    masks = [
+        jnp.uint32((1 << max(min(read_len - w * word_bits, word_bits), 0)) - 1
+                   if min(read_len - w * word_bits, word_bits) < 32
+                   else 0xFFFFFFFF)
+        for w in range(len(state_w))
+    ]
     score = jnp.full_like(state_w[0][0], p.gap * q_len + p.gap * read_len, jnp.int32)
     score = score.astype(jnp.int32)
     for w, planes in enumerate(state_w):
@@ -256,12 +296,13 @@ def _packed_global_score(state_w, p: BitpalParams, nbits: int, read_len, q_len, 
     return score * jnp.int32(factor)
 
 
-def _packed_semiglobal_score(state_w, p: BitpalParams, nbits: int, read_len, q_len, factor):
+def _packed_semiglobal_score(state_w, p: BitpalParams, nbits: int, read_len,
+                             q_len, factor, word_bits: int = WORD_BITS):
     one = jnp.uint32(1)
     score = jnp.full_like(state_w[0][0], p.gap * q_len, jnp.int32).astype(jnp.int32)
     best = score
     for w, planes in enumerate(state_w):
-        bits = min(read_len - w * WORD_BITS, WORD_BITS)
+        bits = min(read_len - w * word_bits, word_bits)
         for b in range(max(bits, 0)):
             delta = jnp.full_like(score, p.gap)
             for i in range(nbits):
@@ -274,11 +315,12 @@ def _packed_semiglobal_score(state_w, p: BitpalParams, nbits: int, read_len, q_l
 
 @functools.partial(
     jax.jit,
-    static_argnames=("match", "mismatch", "gap", "read_len", "factor", "semi_global"),
+    static_argnames=("match", "mismatch", "gap", "read_len", "factor",
+                     "semi_global", "word_bits"),
 )
 def bitpal_packed_xla(eq, queries, *, match, mismatch, gap, read_len,
-                      factor=1, semi_global=False):
-    """Portable backend. eq (5, W, S) uint32 (31-bit packing), queries (Q, m)."""
+                      factor=1, semi_global=False, word_bits=WORD_BITS):
+    """Portable backend. eq (5, W, S) uint32 (word_bits packing), queries (Q, m)."""
     p = BitpalParams(match, mismatch, gap)
     if not packed_supported(p):
         raise ValueError(f"packed BitPAl requires M <= 2I - 2G + 1, got {p}")
@@ -290,21 +332,25 @@ def bitpal_packed_xla(eq, queries, *, match, mismatch, gap, read_len,
         def step(carry, c):
             eq_c = lax.dynamic_index_in_dim(eq, c, axis=0, keepdims=False)
             state_w = [[carry[w, i] for i in range(nbits)] for w in range(W)]
-            new = _packed_column(state_w, [eq_c[w] for w in range(W)], p, nbits)
+            new = _packed_column(state_w, [eq_c[w] for w in range(W)], p, nbits,
+                                 word_bits)
             return jnp.stack([jnp.stack(ws) for ws in new]), None
 
-        init = _packed_init(p, nbits, (S,), W, semi_global)
+        init = _packed_init(p, nbits, (S,), W, semi_global, word_bits)
         carry0 = jnp.stack([jnp.stack(ws) for ws in init])
         final, _ = lax.scan(step, carry0, query)
         state_w = [[final[w, i] for i in range(nbits)] for w in range(W)]
         if semi_global:
-            return _packed_semiglobal_score(state_w, p, nbits, read_len, m, factor)
-        return _packed_global_score(state_w, p, nbits, read_len, m, factor)
+            return _packed_semiglobal_score(state_w, p, nbits, read_len, m,
+                                            factor, word_bits)
+        return _packed_global_score(state_w, p, nbits, read_len, m, factor,
+                                    word_bits)
 
     return jax.vmap(one_query)(queries)
 
 
-def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_global, unroll):
+def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor,
+            semi_global, unroll, word_bits=WORD_BITS):
     W = eq_ref.shape[1]
     tile = (eq_ref.shape[2], eq_ref.shape[3])
 
@@ -312,10 +358,11 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_g
         c = q_ref[0, 0, i]
         eq_c = eq_ref[c]
         state_w = [[carry[w, b] for b in range(nbits)] for w in range(W)]
-        new = _packed_column(state_w, [eq_c[w] for w in range(W)], p, nbits)
+        new = _packed_column(state_w, [eq_c[w] for w in range(W)], p, nbits,
+                             word_bits)
         return jnp.stack([jnp.stack(ws) for ws in new])
 
-    init = _packed_init(p, nbits, tile, W, semi_global)
+    init = _packed_init(p, nbits, tile, W, semi_global, word_bits)
     carry0 = jnp.stack([jnp.stack(ws) for ws in init])
 
     def column_u(i, carry):
@@ -328,21 +375,24 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, nbits, read_len, q_len, factor, semi_g
         final = column(i, final)
     state_w = [[final[w, b] for b in range(nbits)] for w in range(W)]
     if semi_global:
-        out_ref[0] = _packed_semiglobal_score(state_w, p, nbits, read_len, q_len, factor)
+        out_ref[0] = _packed_semiglobal_score(state_w, p, nbits, read_len,
+                                              q_len, factor, word_bits)
     else:
-        out_ref[0] = _packed_global_score(state_w, p, nbits, read_len, q_len, factor)
+        out_ref[0] = _packed_global_score(state_w, p, nbits, read_len, q_len,
+                                          factor, word_bits)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "match", "mismatch", "gap", "read_len", "factor", "semi_global",
-        "rows_per_block", "unroll", "interpret",
+        "rows_per_block", "unroll", "interpret", "word_bits",
     ),
 )
 def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
                   semi_global=False, rows_per_block: int = 8,
-                  unroll: int | None = None, interpret: bool = False):
+                  unroll: int | None = None, interpret: bool = False,
+                  word_bits: int = WORD_BITS):
     """Pallas TPU backend; S % 128 == 0 -> (Q, S) int32 scores."""
     p = BitpalParams(match, mismatch, gap)
     if not packed_supported(p):
@@ -365,6 +415,7 @@ def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
         functools.partial(
             _kernel, p=p, nbits=nbits, read_len=read_len, q_len=m, factor=factor,
             semi_global=semi_global, unroll=max(1, min(unroll, m)),
+            word_bits=word_bits,
         ),
         grid=(nb, Q),
         in_specs=[

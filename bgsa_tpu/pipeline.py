@@ -163,6 +163,12 @@ class PipelineConfig:
     # Packed bit-plane BitPAl: identical scores, +18% over non-packed on v5e
     # (falls back to non-packed where the packed decode doesn't apply).
     bitpal_packed: bool = True
+    # Full 32-bit-word packed BitPAl with compare-carry inter-word adds —
+    # the TPU analogue of the reference KNC port's hardware add-with-carry
+    # (original/BGSA_KNC/align_core.c:1153): 1/31 fewer words and denser
+    # planes, at ~2 extra compare ops per cross-word add. Identical scores;
+    # A/B numbers in docs/PERF.md.
+    bitpal_carry: bool = False
 
 
 class Engine:
@@ -202,11 +208,21 @@ class Engine:
         # GeneratorUtils.java:66-70). On TPU the full-word kernel measures
         # ~6% faster even for global scoring (see docs/PERF.md), so the
         # Pallas path uses it for every Myers mode; the XLA twin keeps the
-        # reference's 31-bit global kernel.
+        # reference's 31-bit global kernel. BitPAl's full-word option is the
+        # compare-carry variant (config.bitpal_carry, the KNC hw-adc
+        # analogue) — only on the packed path, where it applies.
         if self.scheme.algorithm is Algorithm.MYERS and (
             self.scheme.mode is Mode.SEMI_GLOBAL or self.backend == "pallas"
         ):
             return 32
+        if self.scheme.algorithm is Algorithm.BITPAL and self.config.bitpal_carry:
+            from .ops import bitpal, bitpal_packed
+
+            params = bitpal.BitpalParams(
+                self.scheme.match, self.scheme.mismatch, self.scheme.gap
+            )
+            if self.config.bitpal_packed and bitpal_packed.packed_supported(params):
+                return 32
         return 31
 
     def _build_step(self, q_len: int, s_len: int, transport: str = "nib"):
@@ -226,6 +242,7 @@ class Engine:
                 )
                 params = bitpal.BitpalParams(scheme.match, scheme.mismatch, scheme.gap)
                 if config.bitpal_packed and bitpal_packed.packed_supported(params):
+                    kw["word_bits"] = word_bits
                     if self.backend == "pallas":
                         return bitpal_packed.bitpal_packed(
                             eq, qcodes, interpret=config.interpret, **kw

@@ -83,6 +83,8 @@ def main():
             {"": lambda: myers_semiglobal.myers_semiglobal(eq32, qd, read_len=n)}, cells)
         add("bitpal (2,-3,-5) 500bp", {
             "packed": lambda: bitpal_packed.bitpal_packed(eq, qd, **bp),
+            "packed-32 carry": lambda: bitpal_packed.bitpal_packed(
+                eq32, qd, word_bits=32, **bp),
             "non-packed": lambda: bitpal.bitpal(eq, qd, **bp),
         }, cells)
     else:

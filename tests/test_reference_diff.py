@@ -236,7 +236,12 @@ def test_diff_bitpal_vs_reference(tmp_path, seed, build):
     qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
     _write(qp, rng, Q, m)
     _write(sp, rng, S, n)
-    _compare(
-        _run_ref(build, tmp_path, qp, sp),
-        _run_ours(tmp_path, qp, sp, extra=["-M", "2", "-I", "-3", "-G", "-5"]),
-    )
+    ref = _run_ref(build, tmp_path, qp, sp)
+    _compare(ref, _run_ours(tmp_path, qp, sp,
+                            extra=["-M", "2", "-I", "-3", "-G", "-5"]))
+    if seed == 0:
+        # the 32-bit compare-carry variant (KNC hw-adc analogue) must also
+        # byte-diff clean against the compiled reference
+        _compare(ref, _run_ours(tmp_path, qp, sp,
+                                extra=["-M", "2", "-I", "-3", "-G", "-5",
+                                       "--carry"]))
