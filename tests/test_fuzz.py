@@ -63,3 +63,29 @@ def test_fuzz_banded_geometries(seed):
     got = bgsa_tpu.align(q[0], s, k=k)
     want = banded_scores(q[0], s, k)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_bitpal_carry_variant(seed):
+    """Random supported schemes through the full engine with
+    bitpal_carry=True (32-bit compare-carry words) — same oracle scores."""
+    from bgsa_tpu.pipeline import PipelineConfig
+
+    rng = np.random.default_rng(seed + 4000)
+    G = int(rng.integers(-9, -1))
+    I = int(rng.integers(2 * G + 1, 0))
+    M = int(rng.integers(0, max(min(6, 2 * I - 2 * G + 1), 1)))
+    if not (M > I > 2 * G and M <= 2 * I - 2 * G + 1):
+        pytest.skip("degenerate draw")
+    scoring = Scoring(M, I, G)
+    rngq = np.random.default_rng(seed)
+    Q = int(rngq.integers(1, 3))
+    m = int(rngq.integers(1, 80))
+    S = int(rngq.integers(1, 150))
+    n = int(rngq.integers(1, 80))
+    q = rngq.integers(0, 4, size=(Q, m))
+    s = rngq.integers(0, 4, size=(S, n))
+    cfg = PipelineConfig(backend="xla", bitpal_carry=True)
+    got = bgsa_tpu.align(q, s, scoring=scoring, config=cfg)
+    want = np.stack([oracle.align_scores(qi, s, scoring) for qi in q])
+    np.testing.assert_array_equal(got, want)

@@ -236,12 +236,19 @@ def test_diff_bitpal_vs_reference(tmp_path, seed, build):
     qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
     _write(qp, rng, Q, m)
     _write(sp, rng, S, n)
-    ref = _run_ref(build, tmp_path, qp, sp)
-    _compare(ref, _run_ours(tmp_path, qp, sp,
-                            extra=["-M", "2", "-I", "-3", "-G", "-5"]))
+    _compare(
+        _run_ref(build, tmp_path, qp, sp),
+        _run_ours(tmp_path, qp, sp, extra=["-M", "2", "-I", "-3", "-G", "-5"]),
+    )
     if seed == 0:
         # the 32-bit compare-carry variant (KNC hw-adc analogue) must also
-        # byte-diff clean against the compiled reference
-        _compare(ref, _run_ours(tmp_path, qp, sp,
-                                extra=["-M", "2", "-I", "-3", "-G", "-5",
-                                       "--carry"]))
+        # byte-diff clean against the compiled reference; small fixed shapes
+        # that still cross the 32-bit word boundary (n=45 -> 2 full words)
+        qp2, sp2 = str(tmp_path / "q2.txt"), str(tmp_path / "s2.txt")
+        _write(qp2, rng, 2, 40)
+        _write(sp2, rng, 256, 45)
+        _compare(
+            _run_ref(build, tmp_path, qp2, sp2),
+            _run_ours(tmp_path, qp2, sp2,
+                      extra=["-M", "2", "-I", "-3", "-G", "-5", "--carry"]),
+        )

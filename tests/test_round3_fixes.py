@@ -100,3 +100,30 @@ def test_cli_sync_timeout_flag(tmp_path, rng, monkeypatch):
                    "--backend", "xla", "--sync-timeout", "7.5", "--quiet"])
     assert rc == 0
     assert seen["timeout"] == 7.5
+
+
+def test_cli_dead_peer_fails_fast(tmp_path, rng):
+    """A -D role whose peer never starts errors out after --sync-timeout
+    with the dead-peer message (the reference hangs forever), end to end
+    through the CLI."""
+    import subprocess
+    import sys
+    import time as _time
+
+    qp, sp = _write_inputs(tmp_path, rng, S=600)
+    env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu",
+           "BGSA_COMPILE_CACHE": "1",
+           "JAX_COMPILATION_CACHE_DIR": os.environ.get(
+               "BGSA_TEST_JAX_CACHE", "/tmp/bgsa_test_jax_cache")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    t0 = _time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, "-m", "bgsa_tpu.cli", "align", "-q", qp, "-d", sp,
+         "-f", str(tmp_path / "sh0.bin"), "--host", "0:2", "-D",
+         "--bucket-size", str(128 * 21), "--backend", "xla",
+         "--sync-timeout", "1.5", "--quiet"],
+        cwd=repo, env=env, capture_output=True, timeout=120,
+    )
+    assert proc.returncode == 1
+    assert b"never published" in proc.stderr
+    assert _time.monotonic() - t0 < 60
