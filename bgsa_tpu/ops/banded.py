@@ -310,7 +310,7 @@ def _stream2_column(t, state, c, load_a, load_b, *, k, m, band_down, max_err, ch
 
 
 def _stream_kernel(q_ref, chk_ref, stream_ref, out_ref, *, q_len, s_len, k, unroll,
-                   dual: bool = False):
+                   dual: bool = False, block_exit: bool = True):
     h, band_down, max_err = _geometry(q_len, s_len, k)
     R, L = stream_ref.shape[-2], stream_ref.shape[-1]
     tile = (R, L)
@@ -389,7 +389,17 @@ def _stream_kernel(q_ref, chk_ref, stream_ref, out_ref, *, q_len, s_len, k, unro
         dead = dead | (mark & (err > jnp.int32(max_err)).astype(jnp.int32))
         return i + 1, (vplo, vphi, vnlo, vnhi, err, dead)
 
-    _, state = lax.while_loop(batch_cond, batch_body, (jnp.int32(start_batch), state))
+    if block_exit:
+        _, state = lax.while_loop(
+            batch_cond, batch_body, (jnp.int32(start_batch), state)
+        )
+    else:
+        # A/B control (docs/PERF.md): identical batches, no early-exit
+        # condition — isolates the while_loop's cost/benefit.
+        state = lax.fori_loop(
+            jnp.int32(start_batch), jnp.int32(n_batches),
+            lambda i, st: batch_body((i, st))[1], state,
+        )
     tail_start = n_batches * BATCH_COLS
     if dual:
         tail_start = max(tail_start, head_end)
@@ -399,11 +409,13 @@ def _stream_kernel(q_ref, chk_ref, stream_ref, out_ref, *, q_len, s_len, k, unro
 
 
 @functools.partial(
-    jax.jit, static_argnames=("q_len", "s_len", "k", "rows_per_block", "unroll", "interpret")
+    jax.jit,
+    static_argnames=("q_len", "s_len", "k", "rows_per_block", "unroll",
+                     "interpret", "block_exit"),
 )
 def banded_stream(stream, queries, *, q_len: int, s_len: int, k: int,
                   rows_per_block: int = 32, unroll: int | None = None,
-                  interpret: bool = False):
+                  interpret: bool = False, block_exit: bool = True):
     """Pallas TPU backend on the flat Eq bit-stream (the fast path).
 
     stream: (5, W, S) uint32 from pack.pack_banded_stream_jax; S % 128 == 0.
@@ -433,6 +445,7 @@ def banded_stream(stream, queries, *, q_len: int, s_len: int, k: int,
     out = pl.pallas_call(
         functools.partial(
             _stream_kernel, q_len=q_len, s_len=s_len, k=k,
+            block_exit=block_exit,
             # batch body covers 32 columns; a non-divisor unroll would skip
             # the batch tail, so round down to a divisor {1,2,4,8,16,32}
             unroll=max(u for u in (1, 2, 4, 8, 16, 32)
