@@ -92,6 +92,10 @@ def align_main(argv=None) -> int:
     p.add_argument("--bucket-size", type=int, default=None, help="database bucket bytes")
     p.add_argument("--stats-json", default=None, metavar="PATH",
                    help="also write run statistics as JSON")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the whole run into "
+                        "DIR (open with TensorBoard / xprof; device-level "
+                        "detail beyond the reference's GET_TIME phases)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -219,7 +223,17 @@ def align_main(argv=None) -> int:
         n_ratio = shard[1] if shard else len(args.devices.split("+"))
         ratios = read_ratio_file(args.ratio_file, n_ratio)
 
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        os.makedirs(args.profile, exist_ok=True)
+        profile_cm = jax.profiler.trace(args.profile)
+
     try:
+      with profile_cm:  # jax.profiler trace around the whole run (--profile)
         if args.devices:
             from .parallel.hetero import hetero_engines, run_hetero
 

@@ -127,3 +127,16 @@ def test_cli_dead_peer_fails_fast(tmp_path, rng):
     assert proc.returncode == 1
     assert b"never published" in proc.stderr
     assert _time.monotonic() - t0 < 60
+
+
+def test_cli_profile_flag(tmp_path, rng):
+    """--profile captures a jax.profiler trace of the run."""
+    qp, sp = _write_inputs(tmp_path, rng)
+    prof = str(tmp_path / "prof")
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "o.bin"),
+                   "--backend", "xla", "--profile", prof, "--quiet"])
+    assert rc == 0
+    import glob
+
+    assert glob.glob(prof + "/**/*.xplane.pb", recursive=True) or \
+        glob.glob(prof + "/**/*.trace.json*", recursive=True)
