@@ -146,6 +146,39 @@ def align_main(argv=None) -> int:
     args.query = _as_line_format(args.query)
     args.database = _as_line_format(args.database)
 
+    if args.carry:
+        # Loud rejection beats a silent no-op (the carry layout only exists
+        # on the packed BitPAl path; unit-cost schemes run Myers kernels,
+        # whose full-word TPU formulation is already the default).
+        if not args.packed:
+            print("error: --carry needs the packed BitPAl path (drop "
+                  "--no-packed); the non-packed kernel is 31-bit only",
+                  file=sys.stderr)
+            return 1
+        if args.threshold is not None or Scoring(
+            args.match, args.mismatch, args.gap
+        ).is_unit:
+            print("error: --carry applies to packed BitPAl scoring schemes; "
+                  "this run selects a Myers/banded kernel (unit-cost or -k), "
+                  "whose full-word formulation is already the TPU default",
+                  file=sys.stderr)
+            return 1
+        from .ops.bitpal import BitpalParams
+        from .ops.bitpal_packed import packed_supported
+        from .schemes import normalize
+
+        try:
+            ns = normalize(Scoring(args.match, args.mismatch, args.gap))
+        except ValueError:
+            ns = None  # the run itself will report the invalid scheme
+        if ns is not None and not packed_supported(
+            BitpalParams(ns.match, ns.mismatch, ns.gap)
+        ):
+            print("error: --carry: this scheme falls outside the packed "
+                  "decode's range (needs M <= 2I - 2G + 1 after GCD "
+                  "normalization) and would run the non-packed 31-bit "
+                  "kernel", file=sys.stderr)
+            return 1
     cfg_kwargs = {
         "backend": args.backend,
         "local_shards": args.shards,

@@ -140,3 +140,27 @@ def test_cli_profile_flag(tmp_path, rng):
 
     assert glob.glob(prof + "/**/*.xplane.pb", recursive=True) or \
         glob.glob(prof + "/**/*.trace.json*", recursive=True)
+
+
+def test_cli_carry_rejects_non_applicable(tmp_path, rng, capsys):
+    """--carry must fail loudly where the carry layout cannot apply (the
+    same no-silent-ignore rule as --shards with -k)."""
+    qp, sp = _write_inputs(tmp_path, rng)
+    out = str(tmp_path / "o.bin")
+    base = ["align", "-q", qp, "-d", sp, "-f", out, "--quiet"]
+    # unit-cost scheme -> Myers kernel
+    assert cli.main([*base, "--carry"]) == 1
+    assert "Myers" in capsys.readouterr().err
+    # banded
+    assert cli.main([*base, "--carry", "-k", "4"]) == 1
+    capsys.readouterr()
+    # non-packed
+    assert cli.main([*base, "--carry", "-M", "2", "-I", "-3", "-G", "-5",
+                     "--no-packed"]) == 1
+    assert "--no-packed" in capsys.readouterr().err
+    # outside the packed decode's range (M > 2I - 2G + 1)
+    assert cli.main([*base, "--carry", "-M", "9", "-I", "-1", "-G", "-2"]) == 1
+    assert "packed decode" in capsys.readouterr().err
+    # applicable scheme still runs
+    assert cli.main([*base, "--carry", "-M", "2", "-I", "-3", "-G", "-5",
+                     "--backend", "xla"]) == 0
