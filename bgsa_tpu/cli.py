@@ -219,6 +219,11 @@ def align_main(argv=None) -> int:
         print("error: -t and --host are mutually exclusive (in-process devices "
               "vs multi-host roles)", file=sys.stderr)
         return 1
+    if args.devices and args.shards != 1:
+        print("error: --shards and -t are mutually exclusive (-t builds one "
+              "pinned engine per listed device; to use N devices of one "
+              "platform, repeat it or pass -n N)", file=sys.stderr)
+        return 1
     if args.devices and (args.resume or args.sync_dir):
         # run_hetero has no resume support (like the reference's in-process
         # heterogeneous mode); silently restarting from scratch would

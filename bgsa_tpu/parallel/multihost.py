@@ -249,7 +249,7 @@ def write_bucket_time(sync_dir: str, bucket: int, host_id: int, seconds: float,
 
 
 def read_bucket_times(sync_dir: str, bucket: int, n_hosts: int,
-                      timeout: float = 3600.0, poll: float = 0.05,
+                      timeout: float = 120.0, poll: float = 0.05,
                       token: str = "") -> list[float]:
     """Wait for every host's time file for one bucket and return the times.
 

@@ -164,3 +164,11 @@ def test_cli_carry_rejects_non_applicable(tmp_path, rng, capsys):
     # applicable scheme still runs
     assert cli.main([*base, "--carry", "-M", "2", "-I", "-3", "-G", "-5",
                      "--backend", "xla"]) == 0
+
+
+def test_cli_shards_with_hetero_rejected(tmp_path, rng, capsys):
+    qp, sp = _write_inputs(tmp_path, rng)
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "o.bin"),
+                   "-t", "cpu+cpu", "--shards", "4", "--quiet"])
+    assert rc == 1
+    assert "--shards" in capsys.readouterr().err
