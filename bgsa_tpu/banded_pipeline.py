@@ -122,8 +122,11 @@ class BandedEngine:
 
     def scores(self, query_codes: np.ndarray, subject_codes: np.ndarray):
         """(Q, m) x (S, n) codes -> device array of (Q, S) int8 error counts."""
+        from .pipeline import _pack_threads
+
         transport, payload = pack.select_transport(
-            subject_codes, n_shards=self.n_shards
+            subject_codes, n_shards=self.n_shards,
+            threads=_pack_threads(self.config),
         )
         return self.scores_packed(
             query_codes, transport, payload, subject_codes.shape[1]

@@ -2,9 +2,10 @@
 
 ``bgsa-align`` mirrors ``./aligner`` (``original/BGSA_CPU/main.c:19-99``):
 ``-q`` query file, ``-d`` database file, ``-f`` result file (default
-``data/result.txt``), ``-N`` host threads (accepted; the TPU pipeline keeps a
-single reader thread), banded adds ``-k``. Scoring flags ``-M/-I/-G`` select
-the scheme at run time (the reference bakes them in at codegen time).
+``data/result.txt``), ``-N`` host packing threads (the reference's OpenMP
+fan-out; here it threads the native transport packers), banded adds ``-k``.
+Scoring flags ``-M/-I/-G`` select the scheme at run time (the reference
+bakes them in at codegen time).
 
 ``bgsa-convert`` mirrors ``./convert``: ``-f`` FASTA, ``-q`` FASTQ, ``-r``
 result-to-text, ``-o`` output.
@@ -42,7 +43,8 @@ def align_main(argv=None) -> int:
     p.add_argument("-q", dest="query", required=True, help="query file (fixed-length lines)")
     p.add_argument("-d", dest="database", required=True, help="database file")
     p.add_argument("-f", dest="result", default="data/result.txt", help="result file")
-    p.add_argument("-N", dest="threads", type=int, default=0, help="host threads (compat)")
+    p.add_argument("-N", dest="threads", type=int, default=0,
+                   help="host packing threads (reference -N; 0 = all cores)")
     p.add_argument("-k", dest="threshold", type=int, default=None, help="banded error threshold")
     p.add_argument("-M", dest="match", type=int, default=0, help="match score")
     p.add_argument("-I", dest="mismatch", type=int, default=-1, help="mismatch score")
@@ -184,6 +186,7 @@ def align_main(argv=None) -> int:
         "local_shards": args.shards,
         "bitpal_packed": args.packed,
         "bitpal_carry": args.carry,
+        "host_threads": args.threads,
     }
     if args.bucket_size:
         cfg_kwargs["bucket_size"] = args.bucket_size

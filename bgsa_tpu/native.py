@@ -82,7 +82,7 @@ def convert_result(result_path: str, out_path: str, itemsize: int,
     return rc == 0
 
 
-def pack_banded(codes: np.ndarray, k: int, query_len: int):
+def pack_banded(codes: np.ndarray, k: int, query_len: int, threads: int = 1):
     """Native banded packing; returns None if unavailable."""
     lib = get_lib()
     if lib is None:
@@ -99,12 +99,18 @@ def pack_banded(codes: np.ndarray, k: int, query_len: int):
         ctypes.c_int32(k), ctypes.c_int32(query_len),
         init_lo.ctypes.data_as(ctypes.c_void_p), init_hi.ctypes.data_as(ctypes.c_void_p),
         inj.ctypes.data_as(ctypes.c_void_p), ctypes.c_int32(W),
+        ctypes.c_int32(threads),
     )
     return init_lo, init_hi, inj
 
 
-def transport_pack(codes: np.ndarray, two_bit: bool):
-    """Native 2-bit / nibble transport packing; returns None if unavailable."""
+def transport_pack(codes: np.ndarray, two_bit: bool, threads: int = 1):
+    """Native 2-bit / nibble transport packing; returns None if unavailable.
+
+    ``threads`` fans the row loop out over std::threads (the reference's
+    handle_reads runs under its -N-thread OpenMP region); ctypes releases
+    the GIL for the call, so the pipeline's reader thread keeps running.
+    """
     lib = get_lib()
     if lib is None:
         return None
@@ -114,7 +120,8 @@ def transport_pack(codes: np.ndarray, two_bit: bool):
     out = np.empty((S, W), np.uint8)
     fn = lib.bgsa_two_bit_pack if two_bit else lib.bgsa_nibble_pack
     fn(codes.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(S),
-       ctypes.c_int64(L), out.ctypes.data_as(ctypes.c_void_p))
+       ctypes.c_int64(L), out.ctypes.data_as(ctypes.c_void_p),
+       ctypes.c_int32(threads))
     return out
 
 

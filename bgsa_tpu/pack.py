@@ -103,17 +103,18 @@ def pack_eq_jax(codes, word_bits: int = 31):
     return jnp.stack(planes)  # (C, W, S)
 
 
-def nibble_pack(codes: np.ndarray) -> np.ndarray:
+def nibble_pack(codes: np.ndarray, threads: int = 1) -> np.ndarray:
     """Host-side transport packing: two symbol codes (0..4) per byte.
 
     Shrinks the host->device subject upload 8x vs int32 codes — the dominant
     end-to-end cost at production sizes (the reference never ships raw text to
     a device either: its offload sends pre-packed Eq planes, R12).
+    ``threads`` fans the native packer over host cores (the reference's -N).
     """
     codes = np.asarray(codes, dtype=np.uint8)
     from . import native
 
-    fast = native.transport_pack(codes, two_bit=False)
+    fast = native.transport_pack(codes, two_bit=False, threads=threads)
     if fast is not None:
         return fast
     S, n = codes.shape
@@ -122,7 +123,7 @@ def nibble_pack(codes: np.ndarray) -> np.ndarray:
     return codes[:, 0::2] | (codes[:, 1::2] << 4)
 
 
-def two_bit_pack(codes: np.ndarray) -> np.ndarray:
+def two_bit_pack(codes: np.ndarray, threads: int = 1) -> np.ndarray:
     """Host-side transport packing for N-free data: four codes (0..3)/byte.
 
     16x smaller than int32 codes; the pipeline uses it whenever a bucket
@@ -131,7 +132,7 @@ def two_bit_pack(codes: np.ndarray) -> np.ndarray:
     codes = np.asarray(codes, dtype=np.uint8)
     from . import native
 
-    fast = native.transport_pack(codes, two_bit=True)
+    fast = native.transport_pack(codes, two_bit=True, threads=threads)
     if fast is not None:
         return fast
     S, n = codes.shape
@@ -198,7 +199,7 @@ def sidecar_pack(codes: np.ndarray, n_shards: int = 1) -> np.ndarray:
 
 
 def select_transport(codes: np.ndarray, allow_sidecar: bool = True,
-                     n_shards: int = 1):
+                     n_shards: int = 1, threads: int = 1):
     """Pick the host->device subject encoding for a batch.
 
     * N-free: 4 codes/byte ("2bit").
@@ -222,7 +223,7 @@ def select_transport(codes: np.ndarray, allow_sidecar: bool = True,
     if n_count is None:
         n_count = int(np.count_nonzero(codes > 3))
     if n_count == 0:
-        return "2bit", two_bit_pack(codes)
+        return "2bit", two_bit_pack(codes, threads)
     S, L = codes.shape
     delta = S * (-(-L // 2) - (-(-L // 4)))  # nibble bytes minus 2bit bytes
     # Cheap lower bound on the padded sidecar size gates the exact check.
@@ -231,8 +232,8 @@ def select_transport(codes: np.ndarray, allow_sidecar: bool = True,
         pos = sidecar_pack(codes, n_shards)
         if pos.shape[0] * 8 <= delta:
             clean = np.where(codes > 3, 0, codes).astype(np.uint8)
-            return "2bitN", (two_bit_pack(clean), pos)
-    return "nib", nibble_pack(codes)
+            return "2bitN", (two_bit_pack(clean, threads), pos)
+    return "nib", nibble_pack(codes, threads)
 
 
 def two_bit_sidecar_unpack_jax(payload, length: int):
@@ -413,7 +414,8 @@ def pack_banded_streams_jax(codes, threshold: int, query_len: int):
     ])
 
 
-def pack_banded(codes: np.ndarray, threshold: int, query_len: int):
+def pack_banded(codes: np.ndarray, threshold: int, query_len: int,
+                threads: int = 1):
     """Banded packing: initial 64-bit Peq window + per-column injection bits.
 
     Mirrors the reference's banded layout (``banded/BGSA_CPU/global.c:25-85``):
@@ -439,7 +441,7 @@ def pack_banded(codes: np.ndarray, threshold: int, query_len: int):
     codes = np.atleast_2d(np.asarray(codes))
     from . import native
 
-    fast = native.pack_banded(codes, threshold, query_len)
+    fast = native.pack_banded(codes, threshold, query_len, threads=threads)
     if fast is not None:
         return fast
     S, L = codes.shape

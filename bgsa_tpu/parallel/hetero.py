@@ -144,7 +144,11 @@ def run_hetero(
                     [codes, np.zeros((pads[d] - counts[d], codes.shape[1]),
                                      codes.dtype)]
                 )
-            transport, packed = pack.select_transport(codes)
+            from ..pipeline import _pack_threads
+
+            transport, packed = pack.select_transport(
+                codes, threads=_pack_threads(config)
+            )
             stats.pack_time += time.perf_counter() - t0
             key = (transport, codes.shape,
                    packed[1].shape if isinstance(packed, tuple) else None)

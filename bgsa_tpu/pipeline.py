@@ -91,6 +91,13 @@ def _warm_executable(jax, ex, specs) -> None:
     np.asarray(leaf[(0,) * leaf.ndim])
 
 
+def _pack_threads(config) -> int:
+    """Resolved host packing thread count (-N; 0 = all cores)."""
+    import os
+
+    return config.host_threads or (os.cpu_count() or 1)
+
+
 def _local_mesh(jax, config):
     """(n_shards, mesh) for the local multi-chip path (``--shards``).
 
@@ -151,6 +158,9 @@ class PipelineConfig:
     interpret: bool = False  # Pallas interpreter mode (tests)
     prefetch: int = 2
     local_shards: int = 1  # 1 = single device; 0 = all local devices; n = first n
+    # Host packing threads (the reference's -N OpenMP fan-out over
+    # handle_reads); 0 = all cores. Only the native packers fan out.
+    host_threads: int = 0
     # Dynamic (-D) split granularity: host slices are aligned to
     # seqs_per_bucket/dynamic_grid so at most dynamic_grid distinct shapes
     # ever compile (the reference re-splits at V_NUM granularity because its
@@ -337,7 +347,8 @@ class Engine:
         production bottleneck).
         """
         transport, payload = pack.select_transport(
-            subject_codes, n_shards=self.n_shards
+            subject_codes, n_shards=self.n_shards,
+            threads=_pack_threads(self.config),
         )
         return self.scores_packed(
             query_codes, transport, payload, subject_codes.shape[1]
@@ -664,7 +675,7 @@ def run_bucketed(
             # into shard-local position lists (pack.sidecar_pack).
             t0 = time.perf_counter()
             transport, payload = pack.select_transport(
-                codes, n_shards=engine.n_shards
+                codes, n_shards=engine.n_shards, threads=_pack_threads(config)
             )
             stats.pack_time += time.perf_counter() - t0
             if hasattr(engine, "compile_for"):

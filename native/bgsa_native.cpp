@@ -18,6 +18,7 @@
 #include <sys/stat.h>
 #include <fcntl.h>
 #include <unistd.h>
+#include <thread>
 #include <vector>
 
 // The transport packers memcpy code bytes into uint16/uint32 and OR-fold
@@ -71,6 +72,30 @@ struct MappedFile {
 inline long load_score(const uint8_t* base, int64_t idx, int itemsize) {
   if (itemsize == 2) return reinterpret_cast<const int16_t*>(base)[idx];
   return reinterpret_cast<const int8_t*>(base)[idx];
+}
+
+// Run fn(row_begin, row_end) over [0, S) on up to nthreads std::threads —
+// the analogue of the reference's `omp parallel for` over its handle_reads
+// row loops (original/BGSA_SSE/global.c:26-69 runs under cal_sse.c:72's
+// OpenMP region, thread count = the aligner's -N flag).
+template <typename Fn>
+void parallel_rows(int64_t S, int nthreads, Fn fn) {
+  if (nthreads < 1) nthreads = 1;
+  int64_t max_useful = (S + 1023) / 1024;  // >=1k rows per thread or don't bother
+  if (nthreads > max_useful) nthreads = (int)max_useful;
+  if (nthreads <= 1) {
+    fn((int64_t)0, S);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  int64_t per = (S + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; t++) {
+    int64_t b = t * per, e = b + per < S ? b + per : S;
+    if (b >= e) break;
+    pool.emplace_back([=] { fn(b, e); });
+  }
+  for (auto& th : pool) th.join();
 }
 
 }  // namespace
@@ -157,12 +182,13 @@ int bgsa_convert_result(const char* result_path, const char* info_path,
 // inj_words = ceil(max(qlen - k, 1) / 32).
 void bgsa_pack_banded(const uint8_t* codes, int64_t S, int64_t L, int32_t k,
                       int32_t qlen, uint32_t* init_lo, uint32_t* init_hi,
-                      uint32_t* inj, int32_t inj_words) {
+                      uint32_t* inj, int32_t inj_words, int32_t nthreads) {
   const int64_t n_inj = qlen - k > 0 ? qlen - k : 1;
   memset(init_lo, 0, sizeof(uint32_t) * 5 * S);
   memset(init_hi, 0, sizeof(uint32_t) * 5 * S);
   memset(inj, 0, sizeof(uint32_t) * 5 * inj_words * S);
-  for (int64_t s = 0; s < S; s++) {
+  parallel_rows(S, nthreads, [=](int64_t s0, int64_t s1) {
+  for (int64_t s = s0; s < s1; s++) {
     const uint8_t* row = codes + s * L;
     uint64_t init[5] = {0, 0, 0, 0, 0};
     const int64_t kk = k < L ? k : L;
@@ -177,6 +203,7 @@ void bgsa_pack_banded(const uint8_t* codes, int64_t S, int64_t L, int32_t k,
       inj[((int64_t)c * inj_words + (t >> 5)) * S + s] |= 1u << (t & 31);
     }
   }
+  });
 }
 
 // Full-alignment Eq packing (pack.pack_eq layout: [char][word][subject],
@@ -197,9 +224,10 @@ void bgsa_pack_eq(const uint8_t* codes, int64_t S, int64_t L, int32_t word_bits,
 // on host cores too, R6). Bit layout matches pack.two_bit_pack /
 // pack.nibble_pack exactly: little-endian within the byte, zero padding.
 void bgsa_two_bit_pack(const uint8_t* codes, int64_t S, int64_t L,
-                       uint8_t* out) {
+                       uint8_t* out, int32_t nthreads) {
   int64_t W = (L + 3) / 4;
-  for (int64_t s = 0; s < S; s++) {
+  parallel_rows(S, nthreads, [=](int64_t s0, int64_t s1) {
+  for (int64_t s = s0; s < s1; s++) {
     const uint8_t* row = codes + s * L;
     uint8_t* o = out + s * W;
     int64_t full = L / 4;
@@ -215,12 +243,14 @@ void bgsa_two_bit_pack(const uint8_t* codes, int64_t S, int64_t L,
       o[full] = b;
     }
   }
+  });
 }
 
 void bgsa_nibble_pack(const uint8_t* codes, int64_t S, int64_t L,
-                      uint8_t* out) {
+                      uint8_t* out, int32_t nthreads) {
   int64_t W = (L + 1) / 2;
-  for (int64_t s = 0; s < S; s++) {
+  parallel_rows(S, nthreads, [=](int64_t s0, int64_t s1) {
+  for (int64_t s = s0; s < s1; s++) {
     const uint8_t* row = codes + s * L;
     uint8_t* o = out + s * W;
     int64_t full = L / 2;
@@ -231,6 +261,7 @@ void bgsa_nibble_pack(const uint8_t* codes, int64_t S, int64_t L,
     }
     if (full < W) o[full] = row[L - 1];
   }
+  });
 }
 
 // Count of codes > 3 (N characters) — select_transport's sidecar decision.

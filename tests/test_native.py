@@ -70,3 +70,28 @@ def test_native_convert_matches_python(lib, tmp_path, rng):
         del os.environ["BGSA_NO_NATIVE"]
         native._tried = False
     assert open(out_native).read() == open(out_python).read()
+
+
+def test_transport_pack_threads_equal(rng):
+    """Threaded native packers (-N fan-out) produce identical bytes."""
+    from bgsa_tpu import native, pack
+
+    codes = rng.integers(0, 5, size=(5000, 73)).astype(np.uint8)
+    clean = rng.integers(0, 4, size=(4096, 40)).astype(np.uint8)
+    for threads in (2, 8):
+        np.testing.assert_array_equal(
+            pack.nibble_pack(codes, threads=threads), pack.nibble_pack(codes)
+        )
+        np.testing.assert_array_equal(
+            pack.two_bit_pack(clean, threads=threads), pack.two_bit_pack(clean)
+        )
+        if native.get_lib() is not None:
+            got = native.pack_banded(codes, 6, 80, threads=threads)
+            want = native.pack_banded(codes, 6, 80)
+            for a, b in zip(got, want):
+                np.testing.assert_array_equal(a, b)
+    # select_transport with threads picks the same transport + payload
+    name1, p1 = pack.select_transport(clean)
+    name2, p2 = pack.select_transport(clean, threads=4)
+    assert name1 == name2 == "2bit"
+    np.testing.assert_array_equal(p1, p2)
