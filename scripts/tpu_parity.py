@@ -63,6 +63,11 @@ def main():
     check("bitpal packed global", bitpal_packed.bitpal_packed(eq31, qd, **kw), want_bp)
     check("bitpal packed semi",
           bitpal_packed.bitpal_packed(eq31, qd, semi_global=True, **kw), want_bps)
+    check("bitpal packed 32-bit carry",
+          bitpal_packed.bitpal_packed(eq32, qd, word_bits=32, **kw), want_bp)
+    check("bitpal packed 32-bit carry semi",
+          bitpal_packed.bitpal_packed(eq32, qd, word_bits=32, semi_global=True,
+                                      **kw), want_bps)
     check("bitpal non-packed global", bitpal.bitpal(eq31, qd, **kw), want_bp)
     check("bitpal non-packed semi",
           bitpal.bitpal(eq31, qd, semi_global=True, **kw), want_bps)
@@ -88,8 +93,11 @@ def main():
         qbd = jax.device_put(qb)
         if nb >= mq:
             stream = jax.jit(pack.pack_banded_stream_jax, static_argnums=(1, 2))(sb, k, mq)
-            got = banded.banded_stream(jax.device_put(np.asarray(stream)), qbd,
-                                       q_len=mq, s_len=nb, k=k)
+            stream_d = jax.device_put(np.asarray(stream))
+            got = banded.banded_stream(stream_d, qbd, q_len=mq, s_len=nb, k=k)
+            check(f"banded stream {label} (no block exit)",
+                  banded.banded_stream(stream_d, qbd, q_len=mq, s_len=nb, k=k,
+                                       block_exit=False), want)
         else:
             streams = jax.jit(pack.pack_banded_streams_jax, static_argnums=(1, 2))(sb, k, mq)
             got = banded.banded_stream_dual(jax.device_put(np.asarray(streams)), qbd,
