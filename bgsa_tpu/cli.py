@@ -165,17 +165,14 @@ def align_main(argv=None) -> int:
                   "whose full-word formulation is already the TPU default",
                   file=sys.stderr)
             return 1
-        from .ops.bitpal import BitpalParams
-        from .ops.bitpal_packed import packed_supported
         from .schemes import normalize
 
         try:
             ns = normalize(Scoring(args.match, args.mismatch, args.gap))
         except ValueError:
             ns = None  # the run itself will report the invalid scheme
-        if ns is not None and not packed_supported(
-            BitpalParams(ns.match, ns.mismatch, ns.gap)
-        ):
+        if ns is not None and not pl_mod.packed_carry_applies(ns, args.packed):
+            # same predicate Engine.word_bits routes on — no drift
             print("error: --carry: this scheme falls outside the packed "
                   "decode's range (needs M <= 2I - 2G + 1 after GCD "
                   "normalization) and would run the non-packed 31-bit "

@@ -186,11 +186,12 @@ def _bitpal_column(planes, matches_w, p: BitpalParams):
     return out
 
 
-def _valid_masks(read_len: int, W: int):
+def _valid_masks(read_len: int, W: int, word_bits: int = WORD_BITS):
     masks = []
     for w in range(W):
-        bits = min(read_len - w * WORD_BITS, WORD_BITS)
-        masks.append(jnp.uint32((1 << max(bits, 0)) - 1))
+        bits = min(read_len - w * word_bits, word_bits)
+        masks.append(jnp.uint32((1 << max(bits, 0)) - 1
+                                if bits < 32 else 0xFFFFFFFF))
     return masks
 
 

@@ -280,12 +280,7 @@ def _packed_init(p: BitpalParams, nbits: int, shape, W, semi_global: bool,
 def _packed_global_score(state_w, p: BitpalParams, nbits: int, read_len,
                          q_len, factor, word_bits: int = WORD_BITS):
     """score = G*m + sum_rows(2^top*b_top - sum_low 2^i*b_i - |G|)."""
-    masks = [
-        jnp.uint32((1 << max(min(read_len - w * word_bits, word_bits), 0)) - 1
-                   if min(read_len - w * word_bits, word_bits) < 32
-                   else 0xFFFFFFFF)
-        for w in range(len(state_w))
-    ]
+    masks = _valid_masks(read_len, len(state_w), word_bits)
     score = jnp.full_like(state_w[0][0], p.gap * q_len + p.gap * read_len, jnp.int32)
     score = score.astype(jnp.int32)
     for w, planes in enumerate(state_w):

@@ -159,9 +159,12 @@ def run_hetero(
                 zeros = tuple(np.zeros(p.shape, p.dtype) for p in parts)
                 payload = zeros if isinstance(packed, tuple) else zeros[0]
                 for nq in sorted({qb.shape[0] for qb in q_buckets}):
-                    np.asarray(engines[d].scores_packed(
+                    out = engines[d].scores_packed(
                         q_buckets[0][:nq], transport, payload, codes.shape[1]
-                    ))
+                    )
+                    # 4-byte fetch forces compile+load without billing a full
+                    # result D2H to the slow tunnel (same trick as drain()).
+                    np.asarray(out[0, 0])
                 stats.compile_time += time.perf_counter() - t0
             slices[d] = (transport, packed, codes.shape[1])
 

@@ -203,27 +203,47 @@ def run_token(query_path: str, db_path: str, n_hosts: int,
               ratios=None, bucket_size: int | None = None) -> str:
     """Run-identity token namespacing the -D time files.
 
-    Every host derives the same token from shared run inputs (the query/db
-    files live on the shared filesystem in a multi-host deployment): file
-    basename + size + mtime, host count, initial ratios, bucket size —
-    anything that changes the ratio schedule or the data. Stale time files
-    from a *different* previous run in a reused sync_dir then never match,
-    so a late-starting host cannot consume a dead run's times and fork the
-    schedule. The one residual collision — re-running byte-identical,
-    untouched inputs into the same sync_dir — needs a fresh ``--sync-dir``
-    (documented on the CLI flag).
+    Every host must derive the same token for the same run, so it hashes
+    the input files' *content fingerprint* (size + head/tail 64 KB), never
+    their names or mtimes — hosts may hold per-host copies of the inputs,
+    and the CLI's FASTA/FASTQ auto-conversion writes each process its own
+    randomly-named temp file (identical bytes on every host). Host count,
+    initial ratios, and bucket size join the hash because they change the
+    schedule. Stale time files from a *different* previous run in a reused
+    sync_dir then never match, so a late-starting host cannot consume a
+    dead run's times and fork the schedule. The one residual collision —
+    re-running byte-identical inputs into the same sync_dir — needs a
+    fresh ``--sync-dir`` (documented on the CLI flag).
     """
     import hashlib
     import os
 
-    parts = []
+    h = hashlib.sha1()
     for p in (query_path, db_path):
-        st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
-    parts.append(str(n_hosts))
-    parts.append(",".join(f"{float(r):.17g}" for r in (ratios or [])))
-    parts.append(str(bucket_size if bucket_size is not None else ""))
-    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+        size = os.path.getsize(p)
+        h.update(str(size).encode())
+        with open(p, "rb") as f:
+            h.update(f.read(65536))
+            if size > 131072:
+                f.seek(-65536, 2)
+                h.update(f.read(65536))
+    h.update(str(n_hosts).encode())
+    h.update(",".join(f"{float(r):.17g}" for r in (ratios or [])).encode())
+    h.update(str(bucket_size if bucket_size is not None else "").encode())
+    return h.hexdigest()[:12]
+
+
+def hello_path(sync_dir: str, host_id: int, token: str = "") -> str:
+    tag = f".{token}" if token else ""
+    return f"{sync_dir}/bgsa{tag}.hello.host{host_id}"
+
+
+def write_hello(sync_dir: str, host_id: int, token: str = "") -> None:
+    """Announce this role's start (written before any compile work): peers
+    use it to distinguish a host that never launched (fail fast) from one
+    that is alive but inside a multi-minute compile episode (wait longer)."""
+    with open(hello_path(sync_dir, host_id, token), "w") as f:
+        f.write("1\n")
 
 
 def bucket_time_path(sync_dir: str, bucket: int, host_id: int,
@@ -250,28 +270,41 @@ def write_bucket_time(sync_dir: str, bucket: int, host_id: int, seconds: float,
 
 def read_bucket_times(sync_dir: str, bucket: int, n_hosts: int,
                       timeout: float = 120.0, poll: float = 0.05,
-                      token: str = "") -> list[float]:
+                      token: str = "", grace_factor: float = 10.0) -> list[float]:
     """Wait for every host's time file for one bucket and return the times.
 
     The dynamic mode's host synchronization point — the distributed analogue
     of the reference's per-bucket OpenMP join before ``adjust_device_ratio3``
     (``original/BGSA_KNC/cal_all.c:1312-1332``). Full-precision text keeps the
     ratio schedule bit-identical on every host.
+
+    A peer that has announced itself (its hello file exists — write_hello)
+    gets ``grace_factor`` times longer: remote-TPU compile episodes of many
+    minutes legitimately delay the first bucket's publish (one measured
+    752 s, docs/PERF.md), and killing a healthy run as a "dead peer" is
+    worse than waiting. A peer with no hello file never launched — that
+    fails at the base ``timeout``.
     """
     import os
     import time as _time
 
-    deadline = _time.monotonic() + timeout
+    start = _time.monotonic()
     times: list[float] = []
     for h in range(n_hosts):
         path = bucket_time_path(sync_dir, bucket, h, token)
         while not os.path.exists(path):
-            if _time.monotonic() >= deadline:
+            alive = os.path.exists(hello_path(sync_dir, h, token))
+            limit = timeout * grace_factor if alive else timeout
+            if _time.monotonic() - start >= limit:
+                state = ("started but stalled for"
+                         if alive else "never announced itself within")
                 raise TimeoutError(
-                    f"dynamic balancing: host {h} never published its time "
-                    f"for bucket {bucket} ({path}) — did its role crash? "
-                    "(re-run that role with --resume, or restart all roles "
-                    "with a fresh --sync-dir)"
+                    f"dynamic balancing: host {h} {state} {limit:.0f}s "
+                    f"waiting on its time for bucket {bucket} ({path}) — "
+                    "did its role crash? (re-run that role with --resume, "
+                    "or restart all roles with a fresh --sync-dir; the "
+                    "wait is --sync-timeout, x10 once a host's hello file "
+                    "exists)"
                 )
             _time.sleep(poll)
         with open(path) as f:

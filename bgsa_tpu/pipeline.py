@@ -91,6 +91,21 @@ def _warm_executable(jax, ex, specs) -> None:
     np.asarray(leaf[(0,) * leaf.ndim])
 
 
+def packed_carry_applies(scheme: NormalizedScheme,
+                         bitpal_packed: bool = True) -> bool:
+    """Whether the 32-bit compare-carry layout can serve this scheme — the
+    single predicate behind Engine.word_bits's routing and the CLI's
+    --carry validation (one definition keeps the rejection message and the
+    engine's actual kernel choice in lockstep)."""
+    if scheme.algorithm is not Algorithm.BITPAL or not bitpal_packed:
+        return False
+    from .ops import bitpal, bitpal_packed
+
+    return bitpal_packed.packed_supported(
+        bitpal.BitpalParams(scheme.match, scheme.mismatch, scheme.gap)
+    )
+
+
 def _pack_threads(config) -> int:
     """Resolved host packing thread count (-N; 0 = all cores)."""
     import os
@@ -225,14 +240,10 @@ class Engine:
             self.scheme.mode is Mode.SEMI_GLOBAL or self.backend == "pallas"
         ):
             return 32
-        if self.scheme.algorithm is Algorithm.BITPAL and self.config.bitpal_carry:
-            from .ops import bitpal, bitpal_packed
-
-            params = bitpal.BitpalParams(
-                self.scheme.match, self.scheme.mismatch, self.scheme.gap
-            )
-            if self.config.bitpal_packed and bitpal_packed.packed_supported(params):
-                return 32
+        if self.config.bitpal_carry and packed_carry_applies(
+            self.scheme, self.config.bitpal_packed
+        ):
+            return 32
         return 31
 
     def _build_step(self, q_len: int, s_len: int, transport: str = "nib"):
@@ -490,6 +501,10 @@ def run_bucketed(
                     1, -(-db.seqs_per_bucket // (v_num * config.dynamic_grid))
                 )
             balancer = mh.DynamicBalancer(n_hosts, initial_ratios=shard_ratios)
+            # Announce this role before any compile work: peers extend their
+            # dead-peer timeout 10x for hosts that are alive but inside a
+            # multi-minute remote-compile episode (read_bucket_times).
+            mh.write_hello(sync_dir, host_id, sync_token)
             if done_buckets:
                 for b in range(done_buckets):
                     if not os.path.exists(

@@ -203,3 +203,48 @@ def test_dynamic_requires_host(tmp_path, rng):
 # (ratio-schedule recording + stale-time-file immunity are asserted inside
 # test_dynamic_rebalances_and_merges_byte_equal above — one subprocess pair
 # instead of two.)
+
+
+def test_dynamic_with_fasta_inputs(tmp_path, rng):
+    """-D roles fed FASTA inputs: the CLI converts each process's input to
+    its own randomly-named temp file, so the run token must be derived from
+    file *content*, not names/mtimes — with a name-based token the hosts
+    would namespace their time files differently and die on the dead-peer
+    timeout (round-3 review finding)."""
+    Q, m, S, n = 2, 24, 1200, 30
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    qp, sp = str(tmp_path / "q.fasta"), str(tmp_path / "s.fasta")
+    for path, arr in ((qp, q), (sp, s)):
+        with open(path, "w") as f:
+            for i, row in enumerate(arr):
+                f.write(f">seq{i}\n{bytes(bases[row]).decode()}\n")
+    bucket_size = 256 * (n + 1)
+    shards = [str(tmp_path / f"sh{h}.bin") for h in range(2)]
+    procs = [
+        _spawn_role(
+            ["-q", qp, "-d", sp, "-f", shards[h], "--host", f"{h}:2", "-D",
+             "--backend", "xla", "--bucket-size", str(bucket_size),
+             "--sync-timeout", "30", "--quiet"],
+            {},
+        )
+        for h in range(2)
+    ]
+    _wait_ok(procs)
+    metas = [multihost.ShardMeta.load(p + ".meta.json") for p in shards]
+    merged = str(tmp_path / "merged.bin")
+    multihost.merge_shards(merged, shards, metas)
+    # line-format single-host reference for the same sequences
+    lq, ls = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(lq, q)
+    seqfile.write_seq_file(ls, s)
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(
+        lq, ls, single,
+        config=pl_mod.PipelineConfig(backend="xla", bucket_size=bucket_size),
+    )
+    ca, cb = str(tmp_path / "ca.txt"), str(tmp_path / "cb.txt")
+    result_io.convert_result(single, ca)
+    result_io.convert_result(merged, cb)
+    assert open(ca).read() == open(cb).read()

@@ -35,9 +35,21 @@ def test_run_token_identity(tmp_path, rng):
     assert t1 != multihost.run_token(qp, sp, 3, None, 1024)
     assert t1 != multihost.run_token(qp, sp, 2, None, 2048)
     assert t1 != multihost.run_token(qp, sp, 2, [1.0, 2.0], 1024)
-    # Touching the database file (new data, same name) changes the token.
+    # The token is content-based: renaming/copying/touching the inputs (the
+    # CLI's FASTA auto-convert gives every host its own temp copy) must NOT
+    # change it, or hosts would derive different namespaces and deadlock.
     st = os.stat(sp)
     os.utime(sp, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert t1 == multihost.run_token(qp, sp, 2, None, 1024)
+    import shutil
+
+    sp2 = str(tmp_path / "renamed_copy.txt")
+    shutil.copy(sp, sp2)
+    assert t1 == multihost.run_token(qp, sp2, 2, None, 1024)
+    # Different *content* (same name/size) does change it.
+    data = bytearray(open(sp, "rb").read())
+    data[0] = ord("T") if data[0] != ord("T") else ord("G")
+    open(sp, "wb").write(bytes(data))
     assert t1 != multihost.run_token(qp, sp, 2, None, 1024)
 
 
@@ -50,7 +62,7 @@ def test_time_files_are_token_namespaced(tmp_path):
     # A stale legacy (un-tokened) file is invisible to tokened readers.
     with open(multihost.bucket_time_path(str(tmp_path), 0, 0), "w") as f:
         f.write("999.0\n")
-    with pytest.raises(TimeoutError, match="host 0 never published"):
+    with pytest.raises(TimeoutError, match="host 0 never announced"):
         multihost.read_bucket_times(str(tmp_path), 0, 2, timeout=0.05,
                                     token=token)
     # clear_bucket_times only touches this run's namespace.
@@ -68,6 +80,15 @@ def test_dead_peer_error_names_file(tmp_path):
     assert time.perf_counter() - t0 < 5.0  # fails fast, not after an hour
     msg = str(ei.value)
     assert "bucket3" in msg and "host0" in msg and "--sync-dir" in msg
+
+    # a host that announced itself (alive, e.g. inside a compile episode)
+    # gets the 10x grace window instead
+    multihost.write_hello(str(tmp_path), 0, token="deadbeef0123")
+    t0 = time.perf_counter()
+    with pytest.raises(TimeoutError, match="started but stalled"):
+        multihost.read_bucket_times(str(tmp_path), 3, 2, timeout=0.1,
+                                    token="deadbeef0123")
+    assert 0.9 < time.perf_counter() - t0 < 10.0  # ~10 x 0.1s
 
 
 def test_cli_rejects_resume_with_hetero(tmp_path, rng, capsys):
@@ -125,7 +146,7 @@ def test_cli_dead_peer_fails_fast(tmp_path, rng):
         cwd=repo, env=env, capture_output=True, timeout=120,
     )
     assert proc.returncode == 1
-    assert b"never published" in proc.stderr
+    assert b"never announced" in proc.stderr
     assert _time.monotonic() - t0 < 60
 
 
