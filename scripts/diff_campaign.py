@@ -1,0 +1,149 @@
+"""Randomized differential campaign vs the compiled reference binaries.
+
+Random datasets through the full CLI (align + convert) byte-compared with
+the compiled references (build recipe: .claude/skills/verify/SKILL.md),
+rotating kernel families and the engine variants that share each family's
+output (32-bit carry, --shards over the CPU mesh, -N threaded packers).
+Banded cases stay in the reference binary's well-defined geometry region
+(PARITY.md divergence #1); the suite covers the OOB geometries against the
+behavioral model instead. Any mismatch prints its repro seed.
+
+Usage: python scripts/diff_campaign.py <start_seed> <count>
+"""
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/bgsa_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+from bgsa_tpu import cli
+from bgsa_tpu.io import seqfile
+
+ORIG = "/tmp/ref-build/orig_cpu"
+BANDED = "/tmp/ref-build/banded_cpu"
+AVX2 = "/tmp/ref-build/avx2"
+
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def write_seq(path, arr):
+    seqfile.write_seq_file(path, arr)
+
+
+def run_ref(build, tmp, qp, sp, extra=()):
+    res = os.path.join(tmp, "ref.bin")
+    conv = os.path.join(tmp, "ref.txt")
+    subprocess.run([f"{build}/aligner", "-q", qp, "-d", sp, "-f", res, "-N", "1",
+                    *extra], check=True, capture_output=True, cwd=tmp)
+    subprocess.run([f"{build}/convert", "-r", res, "-o", conv],
+                   check=True, capture_output=True, cwd=tmp)
+    return conv
+
+
+def run_ours(tmp, qp, sp, extra=(), banded=False):
+    res = os.path.join(tmp, "our.bin")
+    conv = os.path.join(tmp, "our.txt")
+    assert cli.main(["align", "-q", qp, "-d", sp, "-f", res, "--quiet",
+                     "--backend", "xla", *extra]) == 0
+    args = ["convert", "-r", res, "-o", conv]
+    if banded:
+        args.append("--banded")
+    assert cli.main(args) == 0
+    return conv
+
+
+def one_case(seed):
+    rng = np.random.default_rng(seed)
+    kind = seed % 4
+    with tempfile.TemporaryDirectory() as tmp:
+        qp, sp = os.path.join(tmp, "q.txt"), os.path.join(tmp, "s.txt")
+        if kind == 3:  # banded — the reference binary's well-defined region
+            # (qlen >= 64+k, n >= m, band <= 64, packer capacity bound;
+            # outside it the binary corrupts its own scores via OOB reads,
+            # PARITY.md divergence #1 — those geometries are verified
+            # against banded_ref/oracle in the suite instead)
+            k = int(rng.integers(1, 14))
+            while True:
+                m = int(rng.integers(64 + k, 250))
+                cap = 64 * ((m - k + 63) // 64)
+                if cap >= m:
+                    break
+            n = int(rng.integers(m, min(m + 64 - 2 * k, cap + 1)))
+            Q = int(rng.integers(1, 3))
+            S = int(rng.integers(1, 700))
+            q = rng.integers(0, 4, size=(Q, m))
+            s = rng.integers(0, 4, size=(S, n))
+            ncopy = min(S, 8)
+            s[:ncopy, : min(m, n)] = q[0][: min(m, n)]
+            write_seq(qp, q)
+            write_seq(sp, s)
+            a = run_ref(BANDED, tmp, qp, sp, extra=["-k", str(k)])
+            b = run_ours(tmp, qp, sp, extra=["-k", str(k)], banded=True)
+            tag = f"banded k={k} {m}x{n}"
+        elif kind == 2:  # BitPAl (2,-3,-5) vs AVX2, alternating carry / shards
+            Q = int(rng.integers(1, 4))
+            S = int(rng.integers(1, 500))
+            m = int(rng.integers(8, 100))
+            n = int(rng.integers(8, 100))
+            write_seq(qp, rng.integers(0, 4, size=(Q, m)))
+            write_seq(sp, rng.integers(0, 4, size=(S, n)))
+            extra = ["-M", "2", "-I", "-3", "-G", "-5"]
+            variant = (seed // 4) % 3
+            if variant == 1:
+                extra += ["--carry"]
+            elif variant == 2:
+                extra += ["--shards", "4"]
+            a = run_ref(AVX2, tmp, qp, sp)
+            b = run_ours(tmp, qp, sp, extra=extra)
+            tag = f"bitpal {m}x{n} {' '.join(extra[6:]) or 'default'}"
+        else:  # Myers global, alternating shards / -N threads
+            Q = int(rng.integers(1, 4))
+            S = int(rng.integers(1, 800))
+            m = int(rng.integers(1, 170))
+            n = int(rng.integers(1, 170))
+            write_seq(qp, rng.integers(0, 4, size=(Q, m)))
+            write_seq(sp, rng.integers(0, 4, size=(S, n)))
+            extra = []
+            variant = (seed // 4) % 3
+            if variant == 1:
+                extra = ["--shards", "4"]
+            elif variant == 2:
+                extra = ["-N", "4"]
+            a = run_ref(ORIG, tmp, qp, sp)
+            b = run_ours(tmp, qp, sp, extra=extra)
+            tag = f"myers {m}x{n} {' '.join(extra) or 'default'}"
+        ok = open(a).read() == open(b).read()
+        return ok, tag
+
+
+def main():
+    start, count = int(sys.argv[1]), int(sys.argv[2])
+    bad = []
+    for i in range(start, start + count):
+        ok, tag = one_case(i)
+        if not ok:
+            bad.append((i, tag))
+            print(f"MISMATCH seed={i} {tag}", flush=True)
+        if (i - start + 1) % 25 == 0:
+            print(f"{i - start + 1}/{count} done, {len(bad)} mismatches", flush=True)
+    print(f"CAMPAIGN DONE: {count} datasets, {len(bad)} mismatches", flush=True)
+    if bad:
+        print(bad)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
