@@ -221,15 +221,19 @@ def run_token(query_path: str, db_path: str, n_hosts: int,
     h = hashlib.sha1()
     for p in (query_path, db_path):
         size = os.path.getsize(p)
-        h.update(str(size).encode())
+        h.update(f"|{size}|".encode())
         with open(p, "rb") as f:
             h.update(f.read(65536))
-            if size > 131072:
-                f.seek(-65536, 2)
+            if size > 65536:
+                # tail 64 KB (overlaps the head for files under 128 KB, so
+                # every byte of small files is covered)
+                f.seek(max(size - 65536, 0))
                 h.update(f.read(65536))
-    h.update(str(n_hosts).encode())
+    # explicit field separators: without them distinct configs concatenate
+    # to the same byte stream (e.g. n_hosts=2,bucket=1024 vs ratios=[1024.])
+    h.update(f"|{n_hosts}|".encode())
     h.update(",".join(f"{float(r):.17g}" for r in (ratios or [])).encode())
-    h.update(str(bucket_size if bucket_size is not None else "").encode())
+    h.update(f"|{bucket_size if bucket_size is not None else ''}".encode())
     return h.hexdigest()[:12]
 
 
@@ -238,12 +242,32 @@ def hello_path(sync_dir: str, host_id: int, token: str = "") -> str:
     return f"{sync_dir}/bgsa{tag}.hello.host{host_id}"
 
 
+# A hello older than this is treated as stale (a crashed previous run's
+# leftover — with content-based tokens, identical re-runs reuse the token):
+# hosts refresh their hello's mtime at every bucket-time publish, so a live
+# peer's hello is at most one bucket period old plus its initial compile.
+HELLO_FRESH_SECS = 3600.0
+
+
 def write_hello(sync_dir: str, host_id: int, token: str = "") -> None:
     """Announce this role's start (written before any compile work): peers
     use it to distinguish a host that never launched (fail fast) from one
-    that is alive but inside a multi-minute compile episode (wait longer)."""
+    that is alive but inside a multi-minute compile episode (wait longer).
+    Refreshed (mtime) on every bucket-time publish."""
     with open(hello_path(sync_dir, host_id, token), "w") as f:
         f.write("1\n")
+
+
+def _hello_alive(sync_dir: str, host_id: int, token: str) -> bool:
+    import os
+    import time as _time
+
+    try:
+        return _time.time() - os.path.getmtime(
+            hello_path(sync_dir, host_id, token)
+        ) < HELLO_FRESH_SECS
+    except OSError:
+        return False
 
 
 def bucket_time_path(sync_dir: str, bucket: int, host_id: int,
@@ -260,6 +284,11 @@ def write_bucket_time(sync_dir: str, bucket: int, host_id: int, seconds: float,
     import os
 
     path = bucket_time_path(sync_dir, bucket, host_id, token)
+    try:
+        # keep this host's hello fresh (peers gauge liveness by its mtime)
+        os.utime(hello_path(sync_dir, host_id, token))
+    except OSError:
+        pass
     if os.path.exists(path):
         return
     tmp = path + ".tmp"
@@ -292,12 +321,13 @@ def read_bucket_times(sync_dir: str, bucket: int, n_hosts: int,
     times: list[float] = []
     for h in range(n_hosts):
         path = bucket_time_path(sync_dir, bucket, h, token)
+        alive = False  # sticky once observed: hellos are never deleted mid-run
         while not os.path.exists(path):
-            alive = os.path.exists(hello_path(sync_dir, h, token))
+            alive = alive or _hello_alive(sync_dir, h, token)
             limit = timeout * grace_factor if alive else timeout
             if _time.monotonic() - start >= limit:
-                state = ("started but stalled for"
-                         if alive else "never announced itself within")
+                state = ("started but stalled for" if alive
+                         else "never announced itself (fresh hello) within")
                 raise TimeoutError(
                     f"dynamic balancing: host {h} {state} {limit:.0f}s "
                     f"waiting on its time for bucket {bucket} ({path}) — "

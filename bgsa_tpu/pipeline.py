@@ -99,10 +99,11 @@ def packed_carry_applies(scheme: NormalizedScheme,
     engine's actual kernel choice in lockstep)."""
     if scheme.algorithm is not Algorithm.BITPAL or not bitpal_packed:
         return False
-    from .ops import bitpal, bitpal_packed
+    from .ops import bitpal as _bitpal
+    from .ops import bitpal_packed as _bp  # don't shadow the bool param
 
-    return bitpal_packed.packed_supported(
-        bitpal.BitpalParams(scheme.match, scheme.mismatch, scheme.gap)
+    return _bp.packed_supported(
+        _bitpal.BitpalParams(scheme.match, scheme.mismatch, scheme.gap)
     )
 
 
@@ -488,6 +489,9 @@ def run_bucketed(
             from .parallel import multihost as mh
 
             sync_dir = sync_dir or (os.path.dirname(result_path) or ".")
+            # an explicit --sync-dir need not pre-exist (every host creates
+            # it; makedirs is atomic-enough for concurrent roles)
+            os.makedirs(sync_dir, exist_ok=True)
             # Time files carry a run-identity token so a reused sync_dir's
             # stale files from a previous (different) run can never be read
             # as this run's times (which would silently fork the schedule

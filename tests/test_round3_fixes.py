@@ -193,3 +193,52 @@ def test_cli_shards_with_hetero_rejected(tmp_path, rng, capsys):
                    "-t", "cpu+cpu", "--shards", "4", "--quiet"])
     assert rc == 1
     assert "--shards" in capsys.readouterr().err
+
+
+def test_run_token_field_separation_and_tail(tmp_path, rng):
+    """Collision cases from the round-3 review: ambiguous field
+    concatenation and the untouched 64-128 KB tail."""
+    qp, sp = _write_inputs(tmp_path, rng)
+    # distinct configs must never collide (verified collisions pre-fix)
+    assert multihost.run_token(qp, sp, 2, None, 1024) != \
+        multihost.run_token(qp, sp, 2, [1024.0], None)
+    assert multihost.run_token(qp, sp, 1, [2.0], None) != \
+        multihost.run_token(qp, sp, 12, None, None)
+    # a same-size content change beyond the first 64 KB changes the token
+    big = str(tmp_path / "big.txt")
+    data = bytearray(rng.integers(65, 69, size=100_000).astype(np.uint8))
+    open(big, "wb").write(bytes(data))
+    t1 = multihost.run_token(qp, big, 2, None, None)
+    data[90_000] ^= 1
+    open(big, "wb").write(bytes(data))
+    assert t1 != multihost.run_token(qp, big, 2, None, None)
+
+
+def test_stale_hello_is_ignored(tmp_path):
+    """A crashed previous run's hello (old mtime) must not defeat the
+    fail-fast for a never-relaunched peer."""
+    token = "feedbead0001"
+    multihost.write_hello(str(tmp_path), 1, token)
+    p = multihost.hello_path(str(tmp_path), 1, token)
+    old = time.time() - multihost.HELLO_FRESH_SECS - 60
+    os.utime(p, (old, old))
+    t0 = time.perf_counter()
+    with pytest.raises(TimeoutError, match="never announced"):
+        multihost.read_bucket_times(str(tmp_path), 0, 2, timeout=0.2,
+                                    token=token)
+    assert time.perf_counter() - t0 < 1.5  # base timeout, not the 10x grace
+    # publishing a bucket time refreshes the hello -> alive again
+    multihost.write_bucket_time(str(tmp_path), 0, 1, 1.0, token=token)
+    assert time.time() - os.path.getmtime(p) < multihost.HELLO_FRESH_SECS
+
+
+def test_sync_dir_is_created(tmp_path, rng):
+    """An explicit --sync-dir that does not exist yet must be created, not
+    crash the role on its own hello write (found by the verify drive)."""
+    qp, sp = _write_inputs(tmp_path, rng)
+    out = str(tmp_path / "shard.bin")
+    sync = str(tmp_path / "fresh" / "nested")
+    assert cli.main(["align", "-q", qp, "-d", sp, "-f", out, "--backend",
+                     "xla", "--quiet", "--host", "0:1", "-D",
+                     "--sync-dir", sync]) == 0
+    assert os.path.isdir(sync)
