@@ -351,27 +351,14 @@ def merge_main(argv=None) -> int:
     from .parallel.multihost import ShardMeta, merge_shards
 
     metas = [ShardMeta.load(s + ".meta.json") for s in args.shards]
-    order = sorted(range(len(metas)), key=lambda i: metas[i].host_id)
-    shards = [args.shards[i] for i in order]
-    metas = [metas[i] for i in order]
-    n_hosts = metas[0].n_hosts
-    if len(metas) != n_hosts or [m.host_id for m in metas] != list(range(n_hosts)):
-        p.error(f"need exactly hosts 0..{n_hosts - 1}, got {[m.host_id for m in metas]}")
-    for m in metas[1:]:
-        if m.ref_count != metas[0].ref_count:
-            p.error(f"shard {m.host_id}: ref_count {m.ref_count} != {metas[0].ref_count} "
-                    "(shards from different runs?)")
-        if len(m.block_counts) != len(metas[0].block_counts):
-            p.error(f"shard {m.host_id}: {len(m.block_counts)} buckets != "
-                    f"{len(metas[0].block_counts)} (shards from different runs?)")
-        if m.dtype != metas[0].dtype:
-            p.error(f"shard {m.host_id}: dtype {m.dtype} != {metas[0].dtype} "
-                    "(shards from different runs?)")
+    # Host-id completeness, cross-run consistency, and path/meta pairing are
+    # merge_shards' own validation (it sorts pairs by host_id itself).
     # The sidecar records the score dtype (int16 full / int8 banded);
     # --banded only overrides legacy sidecars that predate the field.
+    # dtype equality across sidecars is validated inside merge_shards.
     dtype = np.dtype(np.int8) if args.banded else np.dtype(metas[0].dtype)
     try:
-        merge_shards(args.output, shards, metas, write_dtype=dtype)
+        merge_shards(args.output, list(args.shards), metas, write_dtype=dtype)
     except ValueError as e:
         p.error(str(e))
     return 0

@@ -151,10 +151,36 @@ def merge_shards(result_path: str, shard_paths: list[str], metas: list[ShardMeta
     matrices interleaved host-by-host, which is exactly the reference's
     multi-device layout (convert.c:228-268).
     """
-    metas = sorted(metas, key=lambda m: m.host_id)
+    if len(shard_paths) != len(metas):
+        raise ValueError(
+            f"merge: {len(shard_paths)} shard paths but {len(metas)} metas"
+        )
+    # sort paths WITH their metas — sorting metas alone would silently
+    # mispair a caller's out-of-host-order shard list
+    order = sorted(range(len(metas)), key=lambda i: metas[i].host_id)
+    metas = [metas[i] for i in order]
+    shard_paths = [shard_paths[i] for i in order]
     n_hosts = metas[0].n_hosts
+    ids = [m.host_id for m in metas]
+    if len(metas) != n_hosts or ids != list(range(n_hosts)):
+        raise ValueError(
+            f"merge: need exactly hosts 0..{n_hosts - 1}, got {ids} — a "
+            "duplicated or missing shard would silently corrupt the layout"
+        )
     ref_count = metas[0].ref_count
     block_num = len(metas[0].block_counts)
+    for m in metas[1:]:
+        for field, want, got in (
+            ("n_hosts", n_hosts, m.n_hosts),
+            ("query count", ref_count, m.ref_count),
+            ("bucket count", block_num, len(m.block_counts)),
+            ("dtype", metas[0].dtype, m.dtype),
+        ):
+            if want != got:
+                raise ValueError(
+                    f"merge: shard {m.host_id}: {field} {got} != {want} "
+                    "(shards from different runs?)"
+                )
     itemsize = np.dtype(write_dtype).itemsize
 
     import os
