@@ -325,15 +325,18 @@ def convert_main(argv=None) -> int:
 
     from .io import fastx, result as result_io
 
-    if args.fasta:
-        fastx.convert_fasta(args.fasta, args.output)
-    elif args.fastq:
-        fastx.convert_fastq(args.fastq, args.output)
-    elif args.result:
-        dtype = np.int8 if args.banded else None  # None -> infer from size
-        result_io.convert_result(args.result, args.output, write_dtype=dtype)
-    else:
-        p.error("one of -f / -q / -r is required")
+    try:
+        if args.fasta:
+            fastx.convert_fasta(args.fasta, args.output)
+        elif args.fastq:
+            fastx.convert_fastq(args.fastq, args.output)
+        elif args.result:
+            dtype = np.int8 if args.banded else None  # None -> infer from size
+            result_io.convert_result(args.result, args.output, write_dtype=dtype)
+        else:
+            p.error("one of -f / -q / -r is required")
+    except (ValueError, OSError) as e:
+        p.error(str(e))
     return 0
 
 
@@ -350,16 +353,16 @@ def merge_main(argv=None) -> int:
 
     from .parallel.multihost import ShardMeta, merge_shards
 
-    metas = [ShardMeta.load(s + ".meta.json") for s in args.shards]
-    # Host-id completeness, cross-run consistency, and path/meta pairing are
-    # merge_shards' own validation (it sorts pairs by host_id itself).
-    # The sidecar records the score dtype (int16 full / int8 banded);
-    # --banded only overrides legacy sidecars that predate the field.
-    # dtype equality across sidecars is validated inside merge_shards.
-    dtype = np.dtype(np.int8) if args.banded else np.dtype(metas[0].dtype)
     try:
+        metas = [ShardMeta.load(s + ".meta.json") for s in args.shards]
+        # Host-id completeness, cross-run consistency, and path/meta pairing
+        # are merge_shards' own validation (it sorts pairs by host_id itself).
+        # The sidecar records the score dtype (int16 full / int8 banded);
+        # --banded only overrides legacy sidecars that predate the field;
+        # dtype equality across sidecars is validated inside merge_shards.
+        dtype = np.dtype(np.int8) if args.banded else np.dtype(metas[0].dtype)
         merge_shards(args.output, list(args.shards), metas, write_dtype=dtype)
-    except ValueError as e:
+    except (ValueError, OSError) as e:
         p.error(str(e))
     return 0
 

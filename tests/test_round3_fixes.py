@@ -242,3 +242,16 @@ def test_sync_dir_is_created(tmp_path, rng):
                      "xla", "--quiet", "--host", "0:1", "-D",
                      "--sync-dir", sync]) == 0
     assert os.path.isdir(sync)
+
+
+def test_convert_and_merge_report_missing_files(tmp_path, capsys):
+    """convert/merge print argparse errors for missing inputs instead of
+    raw tracebacks."""
+    with pytest.raises(SystemExit):
+        cli.main(["convert", "-r", str(tmp_path / "nope.bin"),
+                  "-o", str(tmp_path / "o.txt")])
+    assert "nope.bin" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cli.main(["merge", str(tmp_path / "ghost.bin"),
+                  "-o", str(tmp_path / "m.bin")])
+    assert "ghost.bin" in capsys.readouterr().err
