@@ -23,13 +23,22 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def _build(so_path: str) -> bool:
+    # Compile to a process-private temp name, then atomically rename:
+    # concurrent --host roles on one machine all build on first use, and a
+    # peer must never CDLL a half-written .so.
+    tmp = f"{so_path}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so_path, _SRC],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so_path)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
