@@ -2,8 +2,11 @@
 
 Random datasets through the full CLI (align + convert) byte-compared with
 the compiled references (build recipe: .claude/skills/verify/SKILL.md),
-rotating kernel families and the engine variants that share each family's
-output (32-bit carry, --shards over the CPU mesh, -N threaded packers).
+rotating all seven builds — Myers global (orig_cpu), BitPAl global
+(avx2/avx512), banded (banded_cpu), semi-global Myers (semi_cpu),
+positive-factor Myers (pos_cpu), semi-global BitPAl (semib_avx2) — and the
+engine variants that share each family's output (32-bit carry, --shards
+over the CPU mesh, -N threaded packers, --no-packed).
 Banded cases stay in the reference binary's well-defined geometry region
 (PARITY.md divergence #1); the suite covers the OOB geometries against the
 behavioral model instead. Any mismatch prints its repro seed.
@@ -34,6 +37,10 @@ from bgsa_tpu.io import seqfile
 ORIG = "/tmp/ref-build/orig_cpu"
 BANDED = "/tmp/ref-build/banded_cpu"
 AVX2 = "/tmp/ref-build/avx2"
+AVX512 = "/tmp/ref-build/avx512"
+SEMI = "/tmp/ref-build/semi_cpu"
+POS = "/tmp/ref-build/pos_cpu"
+SEMIB = "/tmp/ref-build/semib_avx2"
 
 BASES = np.frombuffer(b"ACGT", np.uint8)
 
@@ -74,10 +81,43 @@ def run_ours(tmp, qp, sp, extra=(), banded=False):
 
 def one_case(seed):
     rng = np.random.default_rng(seed)
-    kind = seed % 4
+    kind = seed % 7
     with tempfile.TemporaryDirectory() as tmp:
         qp, sp = os.path.join(tmp, "q.txt"), os.path.join(tmp, "s.txt")
-        if kind == 3:  # banded — the reference binary's well-defined region
+        if kind == 4:  # semi-global Myers vs the generator's own emission
+            Q = int(rng.integers(1, 5))
+            S = int(rng.integers(1, 700))
+            m = int(rng.integers(1, 250))
+            n = int(rng.integers(1, 250))
+            write_seq(qp, rng.integers(0, 4, size=(Q, m)))
+            write_seq(sp, rng.integers(0, 4, size=(S, n)))
+            a = run_ref(SEMI, tmp, qp, sp)
+            b = run_ours(tmp, qp, sp, extra=["--semi-global"])
+            tag = f"semiglobal {m}x{n}"
+        elif kind == 5:  # (0,1,1) — the generator's factor=+1 normalization
+            Q = int(rng.integers(1, 5))
+            S = int(rng.integers(1, 700))
+            m = int(rng.integers(1, 250))
+            n = int(rng.integers(1, 250))
+            write_seq(qp, rng.integers(0, 4, size=(Q, m)))
+            write_seq(sp, rng.integers(0, 4, size=(S, n)))
+            a = run_ref(POS, tmp, qp, sp)
+            b = run_ours(tmp, qp, sp, extra=["-M", "0", "-I", "1", "-G", "1"])
+            tag = f"positive-factor {m}x{n}"
+        elif kind == 6:  # semi-global BitPAl, packed / non-packed alternating
+            Q = int(rng.integers(1, 4))
+            S = int(rng.integers(1, 500))
+            m = int(rng.integers(8, 150))
+            n = int(rng.integers(8, 150))
+            write_seq(qp, rng.integers(0, 4, size=(Q, m)))
+            write_seq(sp, rng.integers(0, 4, size=(S, n)))
+            extra = ["-M", "2", "-I", "-3", "-G", "-5", "--semi-global"]
+            if (seed // 7) % 2:
+                extra.append("--no-packed")
+            a = run_ref(SEMIB, tmp, qp, sp)
+            b = run_ours(tmp, qp, sp, extra=extra)
+            tag = f"bitpal-semi {m}x{n} {extra[-1] if extra[-1].startswith('--no') else 'packed'}"
+        elif kind == 3:  # banded — the reference binary's well-defined region
             # (qlen >= 64+k, n >= m, band <= 64, packer capacity bound;
             # outside it the binary corrupts its own scores via OOB reads,
             # PARITY.md divergence #1 — those geometries are verified
@@ -108,14 +148,15 @@ def one_case(seed):
             write_seq(qp, rng.integers(0, 4, size=(Q, m)))
             write_seq(sp, rng.integers(0, 4, size=(S, n)))
             extra = ["-M", "2", "-I", "-3", "-G", "-5"]
-            variant = (seed // 4) % 3
+            variant = (seed // 7) % 3
             if variant == 1:
                 extra += ["--carry"]
             elif variant == 2:
                 extra += ["--shards", "4"]
-            a = run_ref(AVX2, tmp, qp, sp)
+            build = AVX512 if (seed // 7) % 2 else AVX2
+            a = run_ref(build, tmp, qp, sp)
             b = run_ours(tmp, qp, sp, extra=extra)
-            tag = f"bitpal {m}x{n} {' '.join(extra[6:]) or 'default'}"
+            tag = f"bitpal {m}x{n} {' '.join(extra[6:]) or 'default'} vs {os.path.basename(build)}"
         else:  # Myers global, alternating shards / -N threads
             Q = int(rng.integers(1, 4))
             S = int(rng.integers(1, 800))
@@ -124,7 +165,7 @@ def one_case(seed):
             write_seq(qp, rng.integers(0, 4, size=(Q, m)))
             write_seq(sp, rng.integers(0, 4, size=(S, n)))
             extra = []
-            variant = (seed // 4) % 3
+            variant = (seed // 7) % 3
             if variant == 1:
                 extra = ["--shards", "4"]
             elif variant == 2:
