@@ -98,6 +98,10 @@ def align_main(argv=None) -> int:
                    help="capture a jax.profiler trace of the whole run into "
                         "DIR (open with TensorBoard / xprof; device-level "
                         "detail beyond the reference's GET_TIME phases)")
+    p.add_argument("--profile-python", action="store_true",
+                   help="with --profile: also run the host-side Python "
+                        "tracer (10x trace overhead on slow hosts; device "
+                        "timelines alone rarely need it)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -268,7 +272,14 @@ def align_main(argv=None) -> int:
         import jax
 
         os.makedirs(args.profile, exist_ok=True)
-        profile_cm = jax.profiler.trace(args.profile)
+        try:  # device-level trace by default: the Python tracer is ~10x
+            # trace overhead and the device timeline answers the usual
+            # "what is the chip doing" question without it
+            opts = jax.profiler.ProfileOptions()
+            opts.python_tracer_level = 1 if args.profile_python else 0
+            profile_cm = jax.profiler.trace(args.profile, profiler_options=opts)
+        except (AttributeError, TypeError):  # older jax: no ProfileOptions
+            profile_cm = jax.profiler.trace(args.profile)
 
     try:
       with profile_cm:  # jax.profiler trace around the whole run (--profile)
