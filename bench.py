@@ -20,11 +20,18 @@ lands in one of the service's documented bad windows.
 
 import json
 import statistics
+import sys
 import time
 
 import numpy as np
 
 BASELINE_GCUPS = 500.0
+
+
+def note(msg):
+    """Progress marker on stderr (stdout carries only the JSON lines) so a
+    remote-service stall is attributable to a phase, not a silent hang."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def emit(metric, gcups):
@@ -75,12 +82,15 @@ def main():
 
     def measure(run, reps=reps):
         sample = sample_of(run)
+        note("compiling + loading (first remote call can take minutes)")
         sample()  # warm (forces the remote program load on first use)
+        note("warm; timing")
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             sample()
             times.append((time.perf_counter() - t0) / K)
+        note(f"timed {reps} reps, median {statistics.median(times)*1e3:.1f} ms")
         return statistics.median(times)
 
     # --- 1. unit-cost global Myers (headline) ---
@@ -95,6 +105,7 @@ def main():
         run = lambda: myers_xla.myers_global(eq, qd, read_len=n, factor=-1)
 
     # correctness gate (full result, untimed)
+    note(f"Myers: uploading Eq planes + correctness gate (backend={jax.default_backend()})")
     out = np.asarray(run())
     want = -oracle.edit_distances(queries[0], subjects[:4])
     assert (out[0, :4] == want).all(), (out[0, :4], want)
@@ -109,11 +120,13 @@ def main():
         # the kernel (CLAUDE.md); re-measure once after a pause and report
         # the better window's median. Skipped when even the first pass
         # crawled (a retry would risk the caller's timeout instead).
+        note(f"bad window ({gcups:.0f} GCUPS); re-measuring after 90 s")
         time.sleep(90)
         gcups = max(gcups, cells / measure(run) / 1e9)
     emit("unit-cost Myers cal GCUPS (1 chip, 500bp x 500bp)", gcups)
 
     # --- 2. banded-Myers filter (k=8, 150bp reads) ---
+    note("banded: packing streams")
     k, nb = 8, 150
     Sb, Qb = (65536, 8) if on_tpu else (1024, 2)
     qb = rng.integers(0, 4, size=(Qb, nb)).astype(np.int32)
@@ -141,12 +154,12 @@ def main():
     )
 
     # --- 3. packed BitPAl (2,-3,-5) ---
+    note("BitPAl: packing Eq planes")
     bp = dict(match=2, mismatch=-3, gap=-5, read_len=n, factor=1)
+    eq31 = jax.device_put(pack.pack_eq(subjects, 31))
     if on_tpu:
-        eq31 = jax.device_put(pack.pack_eq(subjects, 31))
         run_p = lambda: bitpal_packed.bitpal_packed(eq31, qd, **bp)
     else:
-        eq31 = jax.device_put(pack.pack_eq(subjects, 31))
         run_p = lambda: bitpal_packed.bitpal_packed_xla(eq31, qd, **bp)
     emit("packed BitPAl (2,-3,-5) cal GCUPS (500bp)", cells / measure(run_p) / 1e9)
 

@@ -251,6 +251,19 @@ def align_main(argv=None) -> int:
               "re-splits device/host slices; single-role runs have nothing "
               "to balance)", file=sys.stderr)
         return 1
+    dynamic_hosts = args.dynamic and shard is not None
+    if args.sync_timeout is not None and not dynamic_hosts:
+        print("error: --sync-timeout applies to -D --host runs (it bounds "
+              "the wait for a peer's per-bucket time file); nothing reads "
+              "it here", file=sys.stderr)
+        return 1
+    if args.sync_dir and not dynamic_hosts:
+        print("error: --sync-dir applies to -D --host runs (the time-file "
+              "exchange directory); nothing reads it here", file=sys.stderr)
+        return 1
+    if args.profile_python and not args.profile:
+        print("error: --profile-python needs --profile DIR", file=sys.stderr)
+        return 1
     if args.ratio_file:
         if shard is None and not args.devices:
             # Local shard_map splits evenly (homogeneous chips); ratios only
@@ -373,7 +386,8 @@ def merge_main(argv=None) -> int:
         # dtype equality across sidecars is validated inside merge_shards.
         dtype = np.dtype(np.int8) if args.banded else np.dtype(metas[0].dtype)
         merge_shards(args.output, list(args.shards), metas, write_dtype=dtype)
-    except (ValueError, OSError) as e:
+    except (ValueError, OSError, TypeError) as e:
+        # TypeError: np.dtype() on a garbage dtype string from a sidecar
         p.error(str(e))
     return 0
 

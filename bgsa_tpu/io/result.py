@@ -111,14 +111,21 @@ def resume_point(result_path: str, ref_count: int, device_num: int = 1,
 
 
 def read_info(info_path: str) -> InfoData:
-    with open(info_path, "rb") as f:
-        block_num, device_num, ref_count = struct.unpack("<iiq", f.read(16))
-        counts, extras = [], []
-        for _ in range(block_num):
-            row = struct.unpack(f"<{device_num}q", f.read(8 * device_num))
-            (extra,) = struct.unpack("<i", f.read(4))
-            counts.append(list(row))
-            extras.append(extra)
+    try:
+        with open(info_path, "rb") as f:
+            block_num, device_num, ref_count = struct.unpack("<iiq", f.read(16))
+            if block_num < 0 or device_num < 1 or ref_count < 0:
+                raise ValueError(
+                    f"{info_path}: implausible header (block_num={block_num}, "
+                    f"device_num={device_num}, ref_count={ref_count})")
+            counts, extras = [], []
+            for _ in range(block_num):
+                row = struct.unpack(f"<{device_num}q", f.read(8 * device_num))
+                (extra,) = struct.unpack("<i", f.read(4))
+                counts.append(list(row))
+                extras.append(extra)
+    except struct.error as e:  # short read / truncated record
+        raise ValueError(f"{info_path}: truncated or malformed .info ({e})") from e
     return InfoData(block_num, device_num, ref_count, counts, extras)
 
 

@@ -73,7 +73,13 @@ class ShardMeta:
         import json
 
         with open(path) as f:
-            return cls(**json.load(f))
+            try:
+                return cls(**json.load(f))
+            except (TypeError, ValueError) as e:
+                # wrong JSON shape / missing or unknown keys -> TypeError;
+                # surface both as the malformed-sidecar error CLI callers
+                # already report cleanly
+                raise ValueError(f"{path}: malformed shard sidecar ({e})") from e
 
 
 def shard_resume_point(result_path: str, meta_path: str, ref_count: int,

@@ -61,7 +61,9 @@ def run_ref(build, tmp, qp, sp, extra=()):
     r = subprocess.run([f"{build}/aligner", "-q", qp, "-d", sp, "-f", res,
                         "-N", "1", *extra], capture_output=True, cwd=tmp)
     if r.returncode != 0:
-        raise RefCrash(f"{build} rc={r.returncode}")
+        # Sentinel, raised by one_case only AFTER our side ran: the dataset
+        # still exercises our CLI even when the reference cannot score it.
+        return RefCrash(f"{build} rc={r.returncode}")
     subprocess.run([f"{build}/convert", "-r", res, "-o", conv],
                    check=True, capture_output=True, cwd=tmp)
     return conv
@@ -173,6 +175,8 @@ def one_case(seed):
             a = run_ref(ORIG, tmp, qp, sp)
             b = run_ours(tmp, qp, sp, extra=extra)
             tag = f"myers {m}x{n} {' '.join(extra) or 'default'}"
+        if isinstance(a, RefCrash):
+            raise a  # ours completed on this dataset; nothing to compare
         ok = open(a).read() == open(b).read()
         return ok, tag
 
@@ -185,8 +189,8 @@ def main():
         try:
             ok, tag = one_case(i)
         except RefCrash as e:
-            # ours ran fine (one_case runs ours only after the reference,
-            # so re-run ours alone to prove the dataset is healthy here)
+            # our CLI already ran this dataset to completion (one_case
+            # defers the crash until after run_ours); only the compare skips
             ref_crashes += 1
             print(f"reference crashed on seed={i} ({e}); skipping compare",
                   flush=True)

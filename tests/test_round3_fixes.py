@@ -118,9 +118,27 @@ def test_cli_sync_timeout_flag(tmp_path, rng, monkeypatch):
 
     monkeypatch.setattr(pl_mod, "run_alignment", spy)
     rc = cli.main(["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "o.bin"),
-                   "--backend", "xla", "--sync-timeout", "7.5", "--quiet"])
+                   "--backend", "xla", "--host", "0:1", "-D",
+                   "--sync-timeout", "7.5", "--quiet"])
     assert rc == 0
     assert seen["timeout"] == 7.5
+
+
+def test_cli_sync_flags_require_dynamic_hosts(tmp_path, rng, capsys):
+    """--sync-timeout/--sync-dir outside -D --host (and --profile-python
+    without --profile) fail loudly instead of being silently ignored."""
+    qp, sp = _write_inputs(tmp_path, rng)
+    base = ["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "o.bin"),
+            "--quiet"]
+    assert cli.main([*base, "--sync-timeout", "5"]) == 1
+    assert "--sync-timeout" in capsys.readouterr().err
+    assert cli.main([*base, "--sync-dir", str(tmp_path)]) == 1
+    assert "--sync-dir" in capsys.readouterr().err
+    # static --host roles exchange no time files either
+    assert cli.main([*base, "--host", "0:2", "--sync-timeout", "5"]) == 1
+    capsys.readouterr()
+    assert cli.main([*base, "--profile-python"]) == 1
+    assert "--profile" in capsys.readouterr().err
 
 
 def test_cli_dead_peer_fails_fast(tmp_path, rng):
@@ -255,3 +273,23 @@ def test_convert_and_merge_report_missing_files(tmp_path, capsys):
         cli.main(["merge", str(tmp_path / "ghost.bin"),
                   "-o", str(tmp_path / "m.bin")])
     assert "ghost.bin" in capsys.readouterr().err
+
+
+def test_convert_and_merge_report_malformed_files(tmp_path, capsys):
+    """Valid-JSON-wrong-shape sidecars and truncated .info files are argparse
+    errors too, not TypeError/struct.error tracebacks."""
+    shard = tmp_path / "s.bin"
+    shard.write_bytes(b"\x00" * 8)
+    for bad in ("{}", "[]", '{"host_id": 0, "bogus_key": 1}',
+                '{"host_id": 0, "n_hosts": 1, "ref_count": 1, '
+                '"block_counts": [4], "extra_counts": [0], "dtype": "garbage"}'):
+        (tmp_path / "s.bin.meta.json").write_text(bad)
+        with pytest.raises(SystemExit):
+            cli.main(["merge", str(shard), "-o", str(tmp_path / "m.bin")])
+        assert "usage" in capsys.readouterr().err
+    res = tmp_path / "r.bin"
+    res.write_bytes(b"\x00" * 8)
+    (tmp_path / "r.bin.info").write_bytes(b"\x01\x00\x00\x00")  # truncated
+    with pytest.raises(SystemExit):
+        cli.main(["convert", "-r", str(res), "-o", str(tmp_path / "o.txt")])
+    assert ".info" in capsys.readouterr().err
