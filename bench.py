@@ -19,13 +19,35 @@ lands in one of the service's documented bad windows.
 """
 
 import json
+import os
 import statistics
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_GCUPS = 500.0
+
+# Backend init (jax.devices()) blocks inside the remote service's PJRT
+# client when the tunnel is down — observed hanging >2 h with no output on
+# 2026-08-17. Probe it in a subprocess with a generous deadline (the
+# documented slow episodes are multi-minute, not multi-hour) and fall back
+# to the CPU smoke path rather than hanging the driver silently.
+INIT_PROBE_SECS = float(os.environ.get("BGSA_BENCH_PROBE_SECS", "900"))
+
+
+def _backend_alive():
+    if os.environ.get("JAX_PLATFORMS", "") in ("", "cpu"):
+        return True  # CPU init cannot hang; skip the probe
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=INIT_PROBE_SECS, capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def note(msg):
@@ -49,8 +71,17 @@ def emit(metric, gcups):
 
 
 def main():
+    dead = not _backend_alive()
+    if dead:
+        note(f"backend init unresponsive after {INIT_PROBE_SECS:.0f} s; "
+             "falling back to the CPU smoke path (values are NOT chip "
+             "numbers — the TPU service was down for this run)")
+
     import jax
     import jax.numpy as jnp
+
+    if dead:
+        jax.config.update("jax_platforms", "cpu")
 
     from bgsa_tpu import oracle, pack
     from bgsa_tpu.ops import banded, bitpal_packed, myers_semiglobal, myers_xla
