@@ -169,12 +169,26 @@ def test_cli_dead_peer_fails_fast(tmp_path, rng):
 
 
 def test_cli_profile_flag(tmp_path, rng):
-    """--profile captures a jax.profiler trace of the run."""
+    """--profile captures a jax.profiler trace of the run.
+
+    Runs in a fresh subprocess: in-process, stop_trace serializes xplanes
+    for everything the long-lived pytest process has ever compiled (~20 s
+    by the time this file runs vs ~2 s alone)."""
+    import subprocess
+    import sys
+
     qp, sp = _write_inputs(tmp_path, rng)
     prof = str(tmp_path / "prof")
-    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "o.bin"),
-                   "--backend", "xla", "--profile", prof, "--quiet"])
-    assert rc == 0
+    env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu",
+           "JAX_COMPILATION_CACHE_DIR": os.environ.get(
+               "BGSA_TEST_JAX_CACHE", "/tmp/bgsa_test_jax_cache")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "bgsa_tpu.cli", "align", "-q", qp, "-d", sp,
+         "-f", str(tmp_path / "o.bin"), "--backend", "xla",
+         "--profile", prof, "--quiet"],
+        cwd=repo, env=env, capture_output=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
     import glob
 
     assert glob.glob(prof + "/**/*.xplane.pb", recursive=True) or \
