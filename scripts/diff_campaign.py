@@ -6,7 +6,8 @@ rotating all seven builds — Myers global (orig_cpu), BitPAl global
 (avx2/avx512), banded (banded_cpu), semi-global Myers (semi_cpu),
 positive-factor Myers (pos_cpu), semi-global BitPAl (semib_avx2) — and the
 engine variants that share each family's output (32-bit carry, --shards
-over the CPU mesh, -N threaded packers, --no-packed).
+over the CPU mesh, -N threaded packers, --no-packed, sequential --host
+role splits merged with `merge`, in-process -t cpu+cpu co-compute).
 Banded cases stay in the reference binary's well-defined geometry region
 (PARITY.md divergence #1); the suite covers the OOB geometries against the
 behavioral model instead. Any mismatch prints its repro seed.
@@ -69,11 +70,25 @@ def run_ref(build, tmp, qp, sp, extra=()):
     return conv
 
 
-def run_ours(tmp, qp, sp, extra=(), banded=False):
+def run_ours(tmp, qp, sp, extra=(), banded=False, hosts=0):
     res = os.path.join(tmp, "our.bin")
     conv = os.path.join(tmp, "our.txt")
-    assert cli.main(["align", "-q", qp, "-d", sp, "-f", res, "--quiet",
-                     "--backend", "xla", *extra]) == 0
+    if hosts:
+        # Static multi-host roles run fine sequentially in one process (only
+        # -D needs concurrency); merge interleaves the reference's
+        # multi-device blocked layout, so convert diffs it end to end.
+        shards = [os.path.join(tmp, f"sh{h}.bin") for h in range(hosts)]
+        for h in range(hosts):
+            assert cli.main(["align", "-q", qp, "-d", sp, "-f", shards[h],
+                             "--quiet", "--backend", "xla",
+                             "--host", f"{h}:{hosts}", *extra]) == 0
+        margs = ["merge", *shards, "-o", res]
+        if banded:
+            margs.append("--banded")
+        assert cli.main(margs) == 0
+    else:
+        assert cli.main(["align", "-q", qp, "-d", sp, "-f", res, "--quiet",
+                         "--backend", "xla", *extra]) == 0
     args = ["convert", "-r", res, "-o", conv]
     if banded:
         args.append("--banded")
@@ -139,9 +154,11 @@ def one_case(seed):
             s[:ncopy, : min(m, n)] = q[0][: min(m, n)]
             write_seq(qp, q)
             write_seq(sp, s)
+            hosts = 2 if (seed // 7) % 2 else 0
             a = run_ref(BANDED, tmp, qp, sp, extra=["-k", str(k)])
-            b = run_ours(tmp, qp, sp, extra=["-k", str(k)], banded=True)
-            tag = f"banded k={k} {m}x{n}"
+            b = run_ours(tmp, qp, sp, extra=["-k", str(k)], banded=True,
+                         hosts=hosts)
+            tag = f"banded k={k} {m}x{n}{' 2-role merge' if hosts else ''}"
         elif kind == 2:  # BitPAl (2,-3,-5) vs AVX2, alternating carry / shards
             Q = int(rng.integers(1, 4))
             S = int(rng.integers(1, 500))
@@ -150,11 +167,14 @@ def one_case(seed):
             write_seq(qp, rng.integers(0, 4, size=(Q, m)))
             write_seq(sp, rng.integers(0, 4, size=(S, n)))
             extra = ["-M", "2", "-I", "-3", "-G", "-5"]
-            variant = (seed // 7) % 3
+            variant = (seed // 7) % 4
             if variant == 1:
                 extra += ["--carry"]
             elif variant == 2:
                 extra += ["--shards", "4"]
+            elif variant == 3:
+                # in-process heterogeneous co-compute over two CPU devices
+                extra += ["-t", "cpu+cpu"]
             build = AVX512 if (seed // 7) % 2 else AVX2
             a = run_ref(build, tmp, qp, sp)
             b = run_ours(tmp, qp, sp, extra=extra)
@@ -167,14 +187,18 @@ def one_case(seed):
             write_seq(qp, rng.integers(0, 4, size=(Q, m)))
             write_seq(sp, rng.integers(0, 4, size=(S, n)))
             extra = []
-            variant = (seed // 7) % 3
+            hosts = 0
+            variant = (seed // 7) % 4
             if variant == 1:
                 extra = ["--shards", "4"]
             elif variant == 2:
                 extra = ["-N", "4"]
+            elif variant == 3:
+                hosts = 2 + seed % 2  # 2- or 3-role split + merge
             a = run_ref(ORIG, tmp, qp, sp)
-            b = run_ours(tmp, qp, sp, extra=extra)
-            tag = f"myers {m}x{n} {' '.join(extra) or 'default'}"
+            b = run_ours(tmp, qp, sp, extra=extra, hosts=hosts)
+            tag = (f"myers {m}x{n} "
+                   f"{f'{hosts}-role merge' if hosts else ' '.join(extra) or 'default'}")
         if isinstance(a, RefCrash):
             raise a  # ours completed on this dataset; nothing to compare
         ok = open(a).read() == open(b).read()
