@@ -54,6 +54,43 @@ def test_multihost_roles_merge_equals_single(tmp_path, rng):
     assert open(conv_merged).read() == open(conv_single).read()
 
 
+def test_extreme_ratios_minimal_last_host_slice(tmp_path, rng):
+    """Ratios skewed ~1e9:1 — the reachable extreme. split_counts floors
+    every earlier host to a lane multiple, so the last host always inherits
+    at least one lane (a zero-row last slice is arithmetically impossible
+    with positive weights); here its slice is exactly one 128-lane group,
+    more than half 'N' pads, and merge + convert still match single-host."""
+    Q, m, S, n = 3, 20, 700, 24  # S % 128 != 0 -> final bucket has pads
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=512 * (n + 1))
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(qp, sp, single, config=cfg)
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single)
+
+    ratios = [1e9, 1.0]
+    shard_paths, metas = [], []
+    for h in range(2):
+        p = str(tmp_path / f"shard{h}.bin")
+        _, meta = pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(h, 2),
+                                       shard_ratios=ratios)
+        shard_paths.append(p)
+        metas.append(meta)
+    assert metas[1].block_counts == [128, 128]  # one lane group per bucket
+    assert metas[1].extra_counts[-1] == 256 - (700 - 512)  # 68 pads, > half
+
+    merged = str(tmp_path / "merged.bin")
+    multihost.merge_shards(merged, shard_paths, metas)
+    conv_merged = str(tmp_path / "merged.txt")
+    result_io.convert_result(merged, conv_merged)
+    assert open(conv_merged).read() == open(conv_single).read()
+
+
 def test_local_shards_engine(tmp_path, rng):
     if len(jax.devices()) < 4:
         pytest.skip("needs virtual devices")
