@@ -33,6 +33,39 @@ except Exception:
 import numpy as np
 import pytest
 
+# Multi-second integration tests (subprocess roles pay a ~3 s jax-import
+# floor each on this 1-core box; the differential module drives compiled
+# reference binaries). Default `pytest tests/` runs everything; the quick
+# dev tier is `pytest tests/ -m "not slow"` (~2 min warm).
+_SLOW_TESTS = {
+    "test_host_auto_from_jax_distributed",
+    "test_dynamic_rebalances_and_merges_byte_equal",
+    "test_host_auto_concurrent_roles",
+    "test_dynamic_with_fasta_inputs",
+    "test_hetero_dynamic_rebalances",
+    "test_hetero_banded_and_cli",
+    "test_hetero_static_matches_single",
+    "test_resume_from_any_truncation_point",
+    "test_resume_after_sigkill",
+    "test_sample_data_matches_reference_golden",
+    "test_banded_multihost_roles_merge_equals_single",
+    "test_multihost_roles_merge_equals_single",
+    "test_shard_resume_after_interruption",
+    "test_merge_infers_dtype_from_sidecar",
+    "test_cli_host_roles_and_merge",
+    "test_pipeline_rare_n_uses_sidecar",
+    "test_cli_accepts_fastx_inputs",
+    "test_cli_profile_flag",
+}
+_SLOW_MODULES = {"test_reference_diff"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.name.split("[")[0] in _SLOW_TESTS
+                or item.module.__name__ in _SLOW_MODULES):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

@@ -50,12 +50,17 @@ def test_nibble_roundtrip(rng):
 
 
 def test_pack_banded_jax_matches_numpy(rng):
+    import jax
+
     from bgsa_tpu import pack
 
+    # jitted as the pipeline calls it (eager op-by-op dispatch takes ~4x the
+    # wall time for identical coverage)
+    pb = jax.jit(pack.pack_banded_jax, static_argnums=(1, 2))
     for S, L, k, m in ((9, 70, 6, 64), (4, 40, 3, 50), (3, 33, 8, 33)):
         codes = rng.integers(0, 5, size=(S, L))
         lo, hi, inj = pack.pack_banded(codes, k, m)
-        jlo, jhi, jinj = (np.asarray(x) for x in pack.pack_banded_jax(codes, k, m))
+        jlo, jhi, jinj = (np.asarray(x) for x in pb(codes, k, m))
         np.testing.assert_array_equal(jlo, lo)
         np.testing.assert_array_equal(jhi, hi)
         np.testing.assert_array_equal(jinj, inj)
