@@ -11,11 +11,18 @@ subject_count — the banded reference bills the FULL matrix in its GCUPS too
 reference's own terms. vs_baseline = 500 GCUPS for each, the reference's
 AVX512 per-socket unit-cost number (BASELINE.md; the only published chart).
 
-Methodology (docs/PERF.md): each timed sample chains K kernel calls into one
-device-side scalar and fetches 4 bytes — block_until_ready is unreliable on
-the remote tunnel and a full D2H would bill the tunnel to the kernel.
-Medians over reps; the Myers headline re-measures once after a pause if it
-lands in one of the service's documented bad windows.
+Methodology (docs/PERF.md): each timed sample runs N kernel invocations
+chained INSIDE one jit program — each iteration's query input carries a
+value-preserving data dependency on the previous output (|score| >> 30 is
+always 0 but unprovable at compile time), so the device executes them
+serially and one 4-byte fetch ends the sample. Host-side chaining is NOT
+enough on this box: every host-dispatched program pays the remote tunnel's
+~25-30 ms dispatch floor (a trivial kernel's fetch roundtrip measures
+~65 ms), which swamped the banded kernel 9x (28.3 ms/call host-chained vs
+2.5 ms true device time). block_until_ready is unreliable through the
+tunnel and a full-result np.asarray would bill D2H to the kernel, hence
+the scalar fetch. Medians over reps; the Myers headline re-measures once
+after a pause if it lands in one of the service's documented bad windows.
 """
 
 import json
@@ -92,68 +99,77 @@ def main():
         on_tpu = False
 
     if on_tpu:
-        Q, m, S, n, K, reps = 40, 500, 32768, 500, 3, 6
+        Q, m, S, n, reps = 40, 500, 32768, 500, 6
     else:  # CPU smoke fallback so the script always emits its lines
-        Q, m, S, n, K, reps = 2, 100, 512, 100, 1, 3
+        Q, m, S, n, reps = 2, 100, 512, 100, 3
 
     rng = np.random.default_rng(0)
     queries = rng.integers(0, 4, size=(Q, m)).astype(np.int32)
     subjects = rng.integers(0, 4, size=(S, n))
     qd = jax.device_put(queries)
 
-    def sample_of(run):
-        def sample():
-            acc = jnp.int32(0)
-            for _ in range(K):
-                o = run()
-                acc = acc + o[0, 0] + o[-1, -1]
-            return np.asarray(acc)
+    def chain_of(run_q, queries_dev, n_chain):
+        """One jit program executing run_q n_chain times serially: iteration
+        i+1's query input adds |out_i[0,0]| >> 30 (always 0, unprovable at
+        compile time) so the compiler can neither parallelize nor CSE the
+        invocations. Ends in one device scalar; the caller fetches 4 bytes."""
 
-        return sample
+        @jax.jit
+        def prog(q):
+            out = run_q(q)
+            for _ in range(n_chain - 1):
+                dep = jnp.abs(out[0:1, 0:1]) // jnp.int32(1 << 30)
+                out = run_q(q + dep)
+            return out[0, 0] + out[-1, -1]
 
-    def measure(run, reps=reps):
-        sample = sample_of(run)
-        note("compiling + loading (first remote call can take minutes)")
+        return lambda: np.asarray(prog(queries_dev))
+
+    def measure(run_q, queries_dev, n_chain, reps=reps):
+        if not on_tpu:
+            n_chain = min(n_chain, 2)
+        sample = chain_of(run_q, queries_dev, n_chain)
+        note(f"compiling + loading a {n_chain}-deep kernel chain (first "
+             "remote call can take minutes)")
         sample()  # warm (forces the remote program load on first use)
         note("warm; timing")
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             sample()
-            times.append((time.perf_counter() - t0) / K)
-        note(f"timed {reps} reps, median {statistics.median(times)*1e3:.1f} ms")
+            times.append((time.perf_counter() - t0) / n_chain)
+        note(f"timed {reps} reps, median {statistics.median(times)*1e3:.1f} ms/kernel")
         return statistics.median(times)
 
     # --- 1. unit-cost global Myers (headline) ---
     if on_tpu:
         # the pipeline's TPU path: full-word block kernel in global mode
         eq = jax.device_put(pack.pack_eq(subjects, 32))
-        run = lambda: myers_semiglobal.myers_semiglobal(
-            eq, qd, read_len=n, factor=-1, is_global=True
+        run = lambda q: myers_semiglobal.myers_semiglobal(
+            eq, q, read_len=n, factor=-1, is_global=True
         )
     else:
         eq = jax.device_put(pack.pack_eq(subjects, 31))
-        run = lambda: myers_xla.myers_global(eq, qd, read_len=n, factor=-1)
+        run = lambda q: myers_xla.myers_global(eq, q, read_len=n, factor=-1)
 
     # correctness gate (full result, untimed)
     note(f"Myers: uploading Eq planes + correctness gate (backend={jax.default_backend()})")
-    out = np.asarray(run())
+    out = np.asarray(run(qd))
     want = -oracle.edit_distances(queries[0], subjects[:4])
     assert (out[0, :4] == want).all(), (out[0, :4], want)
 
     cells = Q * m * S * n
     t_first = time.perf_counter()
-    med = measure(run)
+    med = measure(run, qd, 10)
     first_wall = time.perf_counter() - t_first
     gcups = cells / med / 1e9
-    if on_tpu and gcups < 3500 and first_wall < 120:
+    if on_tpu and gcups < 4500 and first_wall < 240:
         # The remote service has documented ~10x bad windows unrelated to
         # the kernel (CLAUDE.md); re-measure once after a pause and report
         # the better window's median. Skipped when even the first pass
         # crawled (a retry would risk the caller's timeout instead).
         note(f"bad window ({gcups:.0f} GCUPS); re-measuring after 90 s")
         time.sleep(90)
-        gcups = max(gcups, cells / measure(run) / 1e9)
+        gcups = max(gcups, cells / measure(run, qd, 10) / 1e9)
     emit("unit-cost Myers cal GCUPS (1 chip, 500bp x 500bp)", gcups)
 
     # --- 2. banded-Myers filter (k=8, 150bp reads) ---
@@ -174,14 +190,14 @@ def main():
         stream = jax.device_put(np.asarray(
             jax.jit(pack.pack_banded_stream_jax, static_argnums=(1, 2))(sb, k, nb)
         ))
-        run_b = lambda: banded.banded_stream(stream, qbd, **bkw)
+        run_b = lambda q: banded.banded_stream(stream, q, **bkw)
     else:
         il, ih, inj = map(jax.device_put, pack.pack_banded(sb, k, nb))
-        run_b = lambda: banded.banded_xla(il, ih, inj, qbd, **bkw)
+        run_b = lambda q: banded.banded_xla(il, ih, inj, q, **bkw)
     emit(
         "banded Myers k=8 cal GCUPS (150bp filter; full-matrix cells as the "
         "reference bills it)",
-        Qb * nb * Sb * nb / measure(run_b) / 1e9,
+        Qb * nb * Sb * nb / measure(run_b, qbd, 24) / 1e9,
     )
 
     # --- 3. packed BitPAl (2,-3,-5) ---
@@ -189,10 +205,11 @@ def main():
     bp = dict(match=2, mismatch=-3, gap=-5, read_len=n, factor=1)
     eq31 = jax.device_put(pack.pack_eq(subjects, 31))
     if on_tpu:
-        run_p = lambda: bitpal_packed.bitpal_packed(eq31, qd, **bp)
+        run_p = lambda q: bitpal_packed.bitpal_packed(eq31, q, **bp)
     else:
-        run_p = lambda: bitpal_packed.bitpal_packed_xla(eq31, qd, **bp)
-    emit("packed BitPAl (2,-3,-5) cal GCUPS (500bp)", cells / measure(run_p) / 1e9)
+        run_p = lambda q: bitpal_packed.bitpal_packed_xla(eq31, q, **bp)
+    emit("packed BitPAl (2,-3,-5) cal GCUPS (500bp)",
+         cells / measure(run_p, qd, 4) / 1e9)
 
 
 if __name__ == "__main__":

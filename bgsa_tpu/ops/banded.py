@@ -414,18 +414,23 @@ def _stream_kernel(q_ref, chk_ref, stream_ref, out_ref, *, q_len, s_len, k, unro
                      "interpret", "block_exit"),
 )
 def banded_stream(stream, queries, *, q_len: int, s_len: int, k: int,
-                  rows_per_block: int = 32, unroll: int | None = None,
+                  rows_per_block: int = 64, unroll: int | None = None,
                   interpret: bool = False, block_exit: bool = True):
     """Pallas TPU backend on the flat Eq bit-stream (the fast path).
 
     stream: (5, W, S) uint32 from pack.pack_banded_stream_jax; S % 128 == 0.
     Returns (Q, S) int32 scores (127 = early exit). Output is bit-identical
     to banded()/banded_xla().
+
+    Defaults (r64, u16) re-tuned against true device time once the remote
+    tunnel's ~25 ms/dispatch floor was discovered and excluded (docs/PERF.md
+    "The dispatch floor"): 219-251 M align/s on the 150 bp k=8 filter, vs
+    195-242 for the floored-era r32/u4.
     """
     C, W, S = stream.shape
     Q, m = queries.shape
     if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
-        unroll = 1 if interpret else 4
+        unroll = 1 if interpret else 16
     h, _, _ = _geometry(q_len, s_len, k)  # validate band
     if h < k:
         raise ValueError(

@@ -5,17 +5,24 @@ this script is the engineering view.
 
 Methodology (see docs/PERF.md): all variants compile first, then are timed
 interleaved (one rep of each, repeated) and reported as medians. Each timed
-sample chains K kernel calls into one device-side scalar and fetches that —
-kernel-only time, no D2H billing, robust against the remote tunnel.
+sample runs N kernel invocations chained INSIDE one jit program with a
+value-preserving data dependency between them, ending in one device scalar
+(4-byte fetch) — true device time. Host-side chaining is not enough: every
+host-dispatched program pays the remote tunnel's ~25-30 ms dispatch floor,
+which swamped sub-10 ms kernels (banded measured 9x slow that way).
 
 Usage: python scripts/bench_all.py [--quick]
 """
 
 import argparse
+import os
 import statistics
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -32,29 +39,35 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     reps = 3 if args.quick else 6
-    K = 1 if args.quick or not on_tpu else 3
     rows = []
 
-    def sm(call):
-        def sample():
-            acc = jnp.int32(0)
-            for _ in range(K):
-                o = call()
-                acc = acc + o[0, 0] + o[-1, -1]
-            return np.asarray(acc)
+    def sm(call_q, queries_dev, n_chain):
+        """One jit program: n_chain serial invocations of call_q (each
+        iteration's query adds |prev[0,0]| >> 30, always 0 but unprovable),
+        one scalar out. See docs/PERF.md on the tunnel dispatch floor."""
+        if args.quick or not on_tpu:
+            n_chain = min(n_chain, 2)
 
-        return sample
+        @jax.jit
+        def prog(q):
+            out = call_q(q)
+            for _ in range(n_chain - 1):
+                dep = jnp.abs(out[0:1, 0:1]) // jnp.int32(1 << 30)
+                out = call_q(q + dep)
+            return out[0, 0] + out[-1, -1]
 
-    def add(name, calls, cells, unit="GCUPS", scale=1e9):
-        fns = {k: sm(c) for k, c in calls.items()}
-        for f in fns.values():
+        return (lambda: np.asarray(prog(queries_dev))), n_chain
+
+    def add(name, calls, cells, queries_dev, n_chain, unit="GCUPS", scale=1e9):
+        fns = {k: sm(c, queries_dev, n_chain) for k, c in calls.items()}
+        for f, _ in fns.values():
             f()  # compile + warm
         times = {k: [] for k in fns}
         for _ in range(reps):
-            for k, f in fns.items():
+            for k, (f, nc) in fns.items():
                 t0 = time.perf_counter()
                 f()
-                times[k].append((time.perf_counter() - t0) / K)
+                times[k].append((time.perf_counter() - t0) / nc)
         for k, ts in times.items():
             label = f"{name} {k}".strip()
             val = cells / statistics.median(ts) / scale
@@ -75,21 +88,23 @@ def main():
 
     if on_tpu:
         add("myers global 500bp", {
-            "full-word": lambda: myers_semiglobal.myers_semiglobal(
-                eq32, qd, read_len=n, factor=-1, is_global=True),
-            "31-bit": lambda: myers_pallas.myers_global(eq, qd, read_len=n, factor=-1),
-        }, cells)
+            "full-word": lambda q: myers_semiglobal.myers_semiglobal(
+                eq32, q, read_len=n, factor=-1, is_global=True),
+            "31-bit": lambda q: myers_pallas.myers_global(eq, q, read_len=n, factor=-1),
+        }, cells, qd, 8)
         add("myers semi-global 500bp",
-            {"": lambda: myers_semiglobal.myers_semiglobal(eq32, qd, read_len=n)}, cells)
+            {"": lambda q: myers_semiglobal.myers_semiglobal(eq32, q, read_len=n)},
+            cells, qd, 8)
         add("bitpal (2,-3,-5) 500bp", {
-            "packed": lambda: bitpal_packed.bitpal_packed(eq, qd, **bp),
-            "packed-32 carry": lambda: bitpal_packed.bitpal_packed(
-                eq32, qd, word_bits=32, **bp),
-            "non-packed": lambda: bitpal.bitpal(eq, qd, **bp),
-        }, cells)
+            "packed": lambda q: bitpal_packed.bitpal_packed(eq, q, **bp),
+            "packed-32 carry": lambda q: bitpal_packed.bitpal_packed(
+                eq32, q, word_bits=32, **bp),
+            "non-packed": lambda q: bitpal.bitpal(eq, q, **bp),
+        }, cells, qd, 3)
     else:
         add("myers global (xla cpu)",
-            {"": lambda: myers_xla.myers_global(eq, qd, read_len=n, factor=-1)}, cells)
+            {"": lambda q: myers_xla.myers_global(eq, q, read_len=n, factor=-1)},
+            cells, qd, 2)
 
     # --- long subjects (multi-word carry chain) ---
     if on_tpu and not args.quick:
@@ -99,9 +114,9 @@ def main():
         eql = jax.device_put(pack.pack_eq(s2, 32))
         q2d = jax.device_put(q2)
         add("myers global 1000x3000bp",
-            {"": lambda: myers_semiglobal.myers_semiglobal(
-                eql, q2d, read_len=nl, factor=-1, is_global=True)},
-            Ql * ml * Sl * nl)
+            {"": lambda q: myers_semiglobal.myers_semiglobal(
+                eql, q, read_len=nl, factor=-1, is_global=True)},
+            Ql * ml * Sl * nl, q2d, 3)
 
     # --- banded filter workload ---
     k = 8
@@ -127,13 +142,14 @@ def main():
             jax.jit(pack.pack_banded_streams_jax, static_argnums=(1, 2))(sb, k, nb)
         ))
         add("banded k=8 150bp", {
-            "stream (engine path)": lambda: banded.banded_stream(stream, qbd, **bkw),
-            "dual-stream": lambda: banded.banded_stream_dual(streams2, qbd, **bkw),
-            "peq-carry": lambda: banded.banded(il, ih, inj, qbd, **bkw),
-        }, Qb * Sb, unit="M align/s", scale=1e6)
+            "stream (engine path)": lambda q: banded.banded_stream(stream, q, **bkw),
+            "dual-stream": lambda q: banded.banded_stream_dual(streams2, q, **bkw),
+            "peq-carry": lambda q: banded.banded(il, ih, inj, q, **bkw),
+        }, Qb * Sb, qbd, 24, unit="M align/s", scale=1e6)
     else:
-        add("banded k=8 150bp", {"": lambda: banded.banded_xla(il, ih, inj, qbd, **bkw)},
-            Qb * Sb, unit="M align/s", scale=1e6)
+        add("banded k=8 150bp",
+            {"": lambda q: banded.banded_xla(il, ih, inj, q, **bkw)},
+            Qb * Sb, qbd, 2, unit="M align/s", scale=1e6)
 
     print()
     print("| Workload | Throughput |")
