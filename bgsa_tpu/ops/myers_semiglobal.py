@@ -156,9 +156,10 @@ def myers_semiglobal(
     C, W, S = eq.shape
     Q, m = queries.shape
     if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
-        # long subjects prefer deeper unrolls (W=94: u30 +2.7% over u20;
-        # 500bp/W=16: u30 -4.6%) — interleaved medians on v5e
-        unroll = 1 if interpret else (30 if W >= 48 else 20)
+        # u30 edges u20 by +0.5-1.4% at every length 120-960bp under honest
+        # in-jit-chain timing (interleaved medians on v5e, round 3; the old
+        # "u30 -4.6% at 500bp" was measured through the ~25 ms dispatch floor)
+        unroll = 1 if interpret else 30
     LANES = 128
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
