@@ -85,12 +85,12 @@ def main():
              "numbers — the TPU service was down for this run)")
 
     import jax
-    import jax.numpy as jnp
 
     if dead:
         jax.config.update("jax_platforms", "cpu")
 
     from bgsa_tpu import oracle, pack
+    from bgsa_tpu.benchutil import chain_of
     from bgsa_tpu.ops import banded, bitpal_packed, myers_semiglobal, myers_xla
 
     try:
@@ -107,22 +107,6 @@ def main():
     queries = rng.integers(0, 4, size=(Q, m)).astype(np.int32)
     subjects = rng.integers(0, 4, size=(S, n))
     qd = jax.device_put(queries)
-
-    def chain_of(run_q, queries_dev, n_chain):
-        """One jit program executing run_q n_chain times serially: iteration
-        i+1's query input adds |out_i[0,0]| >> 30 (always 0, unprovable at
-        compile time) so the compiler can neither parallelize nor CSE the
-        invocations. Ends in one device scalar; the caller fetches 4 bytes."""
-
-        @jax.jit
-        def prog(q):
-            out = run_q(q)
-            for _ in range(n_chain - 1):
-                dep = jnp.abs(out[0:1, 0:1]) // jnp.int32(1 << 30)
-                out = run_q(q + dep)
-            return out[0, 0] + out[-1, -1]
-
-        return lambda: np.asarray(prog(queries_dev))
 
     def measure(run_q, queries_dev, n_chain, reps=reps):
         if not on_tpu:

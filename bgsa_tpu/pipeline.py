@@ -132,7 +132,16 @@ def _local_mesh(jax, config):
         return 1, None
     from jax.sharding import Mesh
 
-    return n, Mesh(np.asarray(jax.local_devices()[:n]), ("subjects",))
+    devices = jax.local_devices()
+    if n > len(devices):
+        # The reference errors when more MICs are requested than exist
+        # (original/BGSA_KNC/main.c:145-153). Truncating the mesh while
+        # keeping n_shards would mis-place the pre-split sidecar rows.
+        raise ValueError(
+            f"--shards {n} exceeds the {len(devices)} visible local "
+            f"device(s); use --shards 0 for all local devices"
+        )
+    return n, Mesh(np.asarray(devices[:n]), ("subjects",))
 
 
 def _shard_map_step(step_local, mesh, transport: str):

@@ -31,9 +31,9 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from bgsa_tpu import pack
+    from bgsa_tpu.benchutil import chain_of
     from bgsa_tpu.ops import (banded, bitpal, bitpal_packed, myers_pallas,
                               myers_semiglobal, myers_xla)
 
@@ -42,21 +42,11 @@ def main():
     rows = []
 
     def sm(call_q, queries_dev, n_chain):
-        """One jit program: n_chain serial invocations of call_q (each
-        iteration's query adds |prev[0,0]| >> 30, always 0 but unprovable),
-        one scalar out. See docs/PERF.md on the tunnel dispatch floor."""
+        """In-jit serial chain sampler (bgsa_tpu.benchutil.chain_of; see
+        docs/PERF.md on the tunnel dispatch floor)."""
         if args.quick or not on_tpu:
             n_chain = min(n_chain, 2)
-
-        @jax.jit
-        def prog(q):
-            out = call_q(q)
-            for _ in range(n_chain - 1):
-                dep = jnp.abs(out[0:1, 0:1]) // jnp.int32(1 << 30)
-                out = call_q(q + dep)
-            return out[0, 0] + out[-1, -1]
-
-        return (lambda: np.asarray(prog(queries_dev))), n_chain
+        return chain_of(call_q, queries_dev, n_chain), n_chain
 
     def add(name, calls, cells, queries_dev, n_chain, unit="GCUPS", scale=1e9):
         fns = {k: sm(c, queries_dev, n_chain) for k, c in calls.items()}

@@ -125,3 +125,16 @@ def test_run_banded_sharded_pipeline(tmp_path, rng):
     result_io.convert_result(a, ca, write_dtype=np.int8)
     result_io.convert_result(b, cb, write_dtype=np.int8)
     assert open(ca).read() == open(cb).read()
+
+
+def test_shards_beyond_local_devices_rejected():
+    """--shards N > visible devices must fail loudly: the mesh would truncate
+    to the real device count while n_shards kept N, mis-placing the pre-split
+    sidecar rows (silent score corruption; reference errors on a bad MIC
+    count, original/BGSA_KNC/main.c:145-153)."""
+    n = len(jax.devices()) + 1
+    with pytest.raises(ValueError, match="exceeds"):
+        pl_mod.Engine(normalize(Scoring(0, -1, -1), Mode.GLOBAL),
+                      pl_mod.PipelineConfig(backend="xla", local_shards=n))
+    with pytest.raises(ValueError, match="exceeds"):
+        BandedEngine(4, pl_mod.PipelineConfig(backend="xla", local_shards=n))
