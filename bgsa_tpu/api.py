@@ -9,7 +9,8 @@ capability is one call on Python strings/arrays::
     scores = bgsa_tpu.align("AAAA", ["AAAA", "AACA", "CAAC", "AGGG"])
     # -> array([ 0, -1, -2, -3], dtype=int16)
 
-Lane padding (the reference demo's V_NUM round-up and 'N' fill), bit packing
+Lane padding (the reference demo's V_NUM round-up; code-0 fill so N-free
+batches keep the 2-bit transport), bit packing
 (``sse_handle_reads``), and kernel dispatch are handled internally; the
 returned array is trimmed back to the real subject count. Engines are cached
 per (scheme, config) so repeated calls skip recompilation.
@@ -53,7 +54,11 @@ def _pad_lanes(codes: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
     total = -(-count // multiple) * multiple
     if total == count:
         return codes, count
-    padded = np.full((total, codes.shape[1]), 4, np.int32)  # 'N' pad rows
+    # Pad rows use code 0, not 'N' (4): pad scores are sliced off either
+    # way, and an 'N' fill would push every N-free batch off the 2-bit
+    # transport onto the 2x-wider nibble upload (pipeline.run_bucketed pads
+    # with 0 for the same reason).
+    padded = np.zeros((total, codes.shape[1]), np.int32)
     padded[:count] = codes
     return padded, count
 

@@ -71,7 +71,9 @@ class BandedEngine:
                 elif 2 * k <= 63:  # shorter subjects: dual-stream funnel
                     streams = pack.pack_banded_streams_jax(scodes, k, q_len)
                     s = banded_ops.banded_stream_dual(streams, qcodes, **kw)
-                else:  # huge-k corner: preload exceeds the 64-bit window
+                else:  # 2k > 63 with subjects shorter than k: Peq-carry
+                    # (preload k+s_len <= 63 fits; k+min(k,s_len) > 63
+                    # raises in ops.banded._geometry — reference UB there)
                     args = pack.pack_banded_jax(scodes, k, q_len)
                     s = banded_ops.banded(*args, qcodes, **kw)
             else:

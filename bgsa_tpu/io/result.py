@@ -73,7 +73,8 @@ class ResultWriter:
 
 
 def resume_point(result_path: str, ref_count: int, device_num: int = 1,
-                 write_dtype=np.int16, ref_bucket_count: int = REF_BUCKET_COUNT) -> int:
+                 write_dtype=np.int16, ref_bucket_count: int = REF_BUCKET_COUNT,
+                 expected_buckets=None) -> int:
     """Completed-bucket count for crash recovery; truncates partial tails.
 
     The result pair is append-only (the reference writes it incrementally but
@@ -81,6 +82,14 @@ def resume_point(result_path: str, ref_count: int, device_num: int = 1,
     complete when all its score bytes exist; the .info record is written
     before the scores, so after a crash the manifest may be one record ahead.
     Truncates both files to the last complete bucket and returns its index+1.
+
+    ``expected_buckets``: the resuming run's (count_incl_pads, extra_count)
+    per bucket (seqfile.bucket_counts()). A resume under a different
+    ``--bucket-size`` (or a regenerated database) would otherwise count
+    completed buckets in the *old* geometry's byte sizes, then skip that
+    many *new*-geometry buckets and append a mismatched layout under the
+    stale header — silently corrupt. Any geometry disagreement returns 0
+    (fresh start; the writer overwrites both files).
     """
     import os
 
@@ -93,6 +102,15 @@ def resume_point(result_path: str, ref_count: int, device_num: int = 1,
         return 0
     if info.ref_count != ref_count:
         return 0
+    if expected_buckets is not None:
+        if info.block_num != len(expected_buckets):
+            return 0  # header block_num is kept verbatim in append mode
+        if any(
+            sum(counts) != exp_count or extra != exp_extra
+            for counts, extra, (exp_count, exp_extra)
+            in zip(info.device_read_counts, info.extra_counts, expected_buckets)
+        ):
+            return 0
     itemsize = np.dtype(write_dtype).itemsize
     result_size = os.path.getsize(result_path)
     done = 0

@@ -112,6 +112,16 @@ def _geometry(q_len: int, s_len: int, k: int):
     band_length = k + h + 1
     if band_length > 64:
         raise ValueError(f"band of {band_length} bits exceeds the 64-bit register")
+    if k + min(k, s_len) > 63:
+        # The initial Peq window holds subject[0..k-1] at bits k+1..2k
+        # (banded/BGSA_CPU/global.c:27-85); past bit 63 the packers cannot
+        # carry it and the reference's own C is shift-count UB there. Only
+        # reachable for s_len < q_len (s_len >= q_len implies 2k < band <= 64).
+        raise ValueError(
+            f"banded preload needs bit {k + min(k, s_len)} (> 63): threshold "
+            f"{k} with {s_len}bp subjects exceeds the 64-bit band register "
+            "(undefined in the reference too); reduce -k or use full Myers"
+        )
     return h, band_length - 1, k + h + 1  # h, band_down, max_err
 
 

@@ -298,6 +298,11 @@ def pack_banded_jax(codes, threshold: int, query_len: int):
     codes = jnp.atleast_2d(jnp.asarray(codes, jnp.int32))
     S, L = codes.shape
     k = threshold
+    if k + min(k, L) > 63:
+        raise ValueError(
+            f"banded preload needs bit {k + min(k, L)} (> 63): threshold {k} "
+            f"with {L}bp subjects exceeds the 64-bit band register"
+        )
     lo = jnp.zeros((CHAR_NUM, S), jnp.uint32)
     hi = jnp.zeros((CHAR_NUM, S), jnp.uint32)
     for i in range(min(k, L)):
@@ -439,6 +444,12 @@ def pack_banded(codes: np.ndarray, threshold: int, query_len: int,
         i.e. subject[k + t] == c; W = ceil(max(query_len - k, 1) / 32).
     """
     codes = np.atleast_2d(np.asarray(codes))
+    if threshold + min(threshold, codes.shape[1]) > 63:
+        raise ValueError(
+            f"banded preload needs bit {threshold + min(threshold, codes.shape[1])} "
+            f"(> 63): threshold {threshold} with {codes.shape[1]}bp subjects "
+            "exceeds the 64-bit band register"
+        )
     from . import native
 
     fast = native.pack_banded(codes, threshold, query_len, threads=threads)

@@ -105,7 +105,11 @@ def run_hetero(
         for fill in warm_fills:
             dummy = np.full((rows, db.length), fill, np.uint8)
             for nq in sorted({qb.shape[0] for qb in q_buckets}):
-                engines[dev].scores(queries[:nq], dummy).block_until_ready()
+                # 4-byte fetch, not block_until_ready: the latter returns
+                # early through the tunnel and the remote program-load
+                # episode would land in the first timed bucket, feeding the
+                # balancer a ~100x-inflated time (CLAUDE.md).
+                np.asarray(engines[dev].scores(queries[:nq], dummy)[0, 0])
             warmed_geom[dev].add(
                 ("2bit" if fill == 0 else "nib", (rows, db.length), None)
             )

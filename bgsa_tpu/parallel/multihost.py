@@ -61,6 +61,12 @@ class ShardMeta:
     block_counts: list[int]  # this host's subject count per bucket
     extra_counts: list[int]  # pads (only the last host carries pads)
     dtype: str = "int16"  # score element type of the shard file
+    # Run geometry (0 = written by a pre-round-3 sidecar): resuming under a
+    # different --bucket-size or a regenerated database would skip
+    # done_buckets of the *new* geometry while the recorded splits cover
+    # *old*-geometry buckets — shard_resume_point refuses on mismatch.
+    seqs_per_bucket: int = 0
+    db_subjects: int = 0
 
     def save(self, path: str) -> None:
         import json
@@ -83,8 +89,9 @@ class ShardMeta:
 
 
 def shard_resume_point(result_path: str, meta_path: str, ref_count: int,
-                       write_dtype, n_hosts: int,
-                       host_id: int) -> tuple[int, "ShardMeta | None"]:
+                       write_dtype, n_hosts: int, host_id: int,
+                       seqs_per_bucket: int = 0,
+                       db_subjects: int = 0) -> tuple[int, "ShardMeta | None"]:
     """Completed-bucket count for a raw shard file (the --host role's
     crash recovery). The incrementally-saved ShardMeta sidecar records the
     per-bucket split actually used (which may vary under dynamic balancing);
@@ -112,6 +119,10 @@ def shard_resume_point(result_path: str, meta_path: str, ref_count: int,
         ("host count", n_hosts, meta.n_hosts),
         ("query count", ref_count, meta.ref_count),
         ("dtype", dtype.name, meta.dtype),
+        ("bucket size (subjects)",
+         seqs_per_bucket, meta.seqs_per_bucket or seqs_per_bucket),
+        ("database subject count",
+         db_subjects, meta.db_subjects or db_subjects),
     ):
         if want != got:
             raise ValueError(

@@ -476,6 +476,8 @@ def run_bucketed(
             done_buckets, meta = shard_resume_point(
                 result_path, meta_path, len(queries),
                 np.dtype(write_dtype), n_hosts, host_id,
+                seqs_per_bucket=db.seqs_per_bucket,
+                db_subjects=db.total_count,
             )
             if meta is not None:
                 stats.subject_count += sum(
@@ -485,6 +487,8 @@ def run_bucketed(
             meta = ShardMeta(
                 host_id, n_hosts, len(queries), [], [],
                 dtype=np.dtype(write_dtype).name,
+                seqs_per_bucket=db.seqs_per_bucket,
+                db_subjects=db.total_count,
             )
         writer_fp = open(result_path, "ab" if done_buckets else "wb")
         if dynamic:
@@ -540,11 +544,21 @@ def run_bucketed(
             dyn_ratios = list(balancer.ratios)
             pad_to = 0  # per-bucket chunk-aligned padding instead
         elif pad_to:
-            pad_to = host_slice(pad_to, n_hosts, host_id, v_num, shard_ratios)[1]
+            # Max over every bucket's slice, not the full bucket's slice:
+            # host_slice rounds to v_num multiples and gives the last host
+            # the remainder, so under skewed -R ratios a *tail* bucket's
+            # slice can exceed that host's full-bucket slice — padding to
+            # the full-bucket slice alone would compile a second geometry
+            # mid-run (a multi-minute remote episode pad_to exists to avoid).
+            pad_to = max(
+                host_slice(c, n_hosts, host_id, v_num, shard_ratios)[1]
+                for c, _ in db.bucket_counts()
+            )
     else:
         if resume:
             done_buckets = result_io.resume_point(
-                result_path, len(queries), write_dtype=write_dtype
+                result_path, len(queries), write_dtype=write_dtype,
+                expected_buckets=db.bucket_counts(),
             )
         writer = result_io.ResultWriter(
             result_path, ref_count=len(queries), block_num=db.bucket_count,
@@ -562,7 +576,18 @@ def run_bucketed(
     # halves the AOT warm-up cost for lane-aligned datasets (compiles are
     # multi-minute on the remote TPU service).
     warmed: set[int] = set()
-    warm_transports = ("2bit", "nib") if db.bucket_counts()[-1][1] else ("2bit",)
+    # The 'N' lane pads sit at the end of the final bucket, so under --host
+    # only the role whose slice overlaps them ever selects nib for that
+    # geometry — other roles would pay a wasted multi-minute remote nib
+    # compile for a transport they never use on N-free data.
+    _tail_count, _tail_extra = db.bucket_counts()[-1]
+    _has_pads = bool(_tail_extra)
+    if _has_pads and shard is not None and not dynamic:
+        _start, _cnt = host_slice(
+            _tail_count, shard[1], shard[0], v_num, shard_ratios
+        )
+        _has_pads = _start + _cnt > _tail_count - _tail_extra
+    warm_transports = ("2bit", "nib") if _has_pads else ("2bit",)
 
     def ensure_warm(rows: int) -> None:
         """Warm-compile the predictable transports at this batch shape
@@ -585,7 +610,10 @@ def run_bucketed(
             for fill in fills:
                 dummy = np.full((rows, db.length), fill, np.uint8)
                 for nq in nqs:
-                    engine.scores(queries[:nq], dummy).block_until_ready()
+                    # 4-byte fetch: block_until_ready returns early through
+                    # the tunnel and the program-load episode would leak
+                    # into the first timed bucket (see _warm_executable).
+                    np.asarray(engine.scores(queries[:nq], dummy)[0, 0])
         stats.compile_time += time.perf_counter() - t0
 
     if not dynamic and done_buckets < db.bucket_count:

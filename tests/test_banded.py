@@ -52,10 +52,12 @@ def test_pallas_matches_bitport(rng):
 
 
 def test_band_too_wide_raises(rng):
-    q, s = make_case(rng, 1, 100, 8, 100, 32)  # band 65
-    lo, hi, inj = pack.pack_banded(s, 32, 100)
-    with pytest.raises(ValueError, match="band"):
-        banded_ops.banded_xla(lo, hi, inj, q, q_len=100, s_len=100, k=32)
+    # k=20, subjects 45bp longer than queries: band 86 > 64 while the
+    # preload (bit 41) fits — exercises the band check specifically.
+    q, s = make_case(rng, 1, 100, 8, 145, 20)
+    lo, hi, inj = pack.pack_banded(s, 20, 100)
+    with pytest.raises(ValueError, match="band of 86"):
+        banded_ops.banded_xla(lo, hi, inj, q, q_len=100, s_len=145, k=20)
 
 
 class TestBandedStream:
@@ -184,7 +186,8 @@ class TestBandedStreamDual:
         self._check(rng, 2, 100, 256, 99, 31)
 
     def test_preload_past_window_rejected(self, rng):
-        # 2k > 63: the preload exceeds the 64-bit window (reference UB too)
+        # 2k > 63 with s_len >= k: the preload exceeds the 64-bit register
+        # (reference UB too) — rejected by _geometry before the dual check.
         import pytest
 
         from bgsa_tpu import pack
@@ -192,7 +195,51 @@ class TestBandedStreamDual:
 
         s = rng.integers(0, 4, size=(128, 99))
         streams = np.asarray(pack.pack_banded_streams_jax(s, 32, 100))
-        with pytest.raises(ValueError, match="2k <= 63"):
+        with pytest.raises(ValueError, match="preload"):
             b.banded_stream_dual(streams, np.zeros((1, 100), np.int32),
                                  q_len=100, s_len=99, k=32, interpret=True)
 
+    def test_dual_rejects_wide_k_small_subjects(self, rng):
+        # s_len < k keeps the preload in range, but the dual-stream
+        # superposition itself needs 2k <= 63 — its own check still fires.
+        import pytest
+
+        from bgsa_tpu import pack
+        from bgsa_tpu.ops import banded as b
+
+        s = rng.integers(0, 4, size=(128, 20))
+        streams = np.asarray(pack.pack_banded_streams_jax(s, 40, 55))
+        with pytest.raises(ValueError, match="2k <= 63"):
+            b.banded_stream_dual(streams, np.zeros((1, 55), np.int32),
+                                 q_len=55, s_len=20, k=40, interpret=True)
+
+
+
+class TestPreloadOverflow:
+    """k + min(k, s_len) > 63: the 64-bit Peq preload cannot hold the first
+    k subject chars (bits k+1..2k). Round 3 found the Peq-carry path
+    silently truncating here (scores diverged from banded_ref); the
+    reference's own C is shift-count UB in this corner, so every entry
+    point now rejects it loudly."""
+
+    def test_geometry_rejects(self):
+        with pytest.raises(ValueError, match="preload"):
+            banded_ops._geometry(100, 65, 40)  # band 46 fits, preload bit 80
+
+    def test_packers_reject(self, rng):
+        s = rng.integers(0, 4, size=(128, 65)).astype(np.uint8)
+        with pytest.raises(ValueError, match="preload"):
+            pack.pack_banded(s, 40, 100)
+        with pytest.raises(ValueError, match="preload"):
+            pack.pack_banded_jax(s, 40, 100)
+
+    def test_small_subject_carry_corner_still_works(self, rng):
+        # 2k > 63 but s_len < k keeps the preload at bit k+s_len <= 63:
+        # the Peq-carry fallback remains valid there and matches the golden.
+        k, m, n = 40, 55, 20  # h=5, band=46, preload top bit 60
+        q = rng.integers(0, 4, size=(2, m)).astype(np.int32)
+        s = rng.integers(0, 4, size=(128, n)).astype(np.uint8)
+        want = np.array([banded_ref.banded_scores(qq, s, k) for qq in q])
+        lo, hi, inj = pack.pack_banded(s, k, m)
+        got = np.asarray(banded_ops.banded_xla(lo, hi, inj, q, q_len=m, s_len=n, k=k))
+        np.testing.assert_array_equal(got, want)
