@@ -97,7 +97,11 @@ def resume_point(result_path: str, ref_count: int, device_num: int = 1,
     if not (os.path.exists(info_path) and os.path.exists(result_path)):
         return 0
     try:
-        info = read_info(info_path)
+        # allow_partial: a SIGKILL mid-run leaves fewer manifest records
+        # than the header's block_num — the complete-record prefix is still
+        # a valid resume point (restarting from scratch would discard every
+        # finished bucket of, say, a 53-bucket 10M run).
+        info = read_info(info_path, allow_partial=True)
     except Exception:
         return 0
     if info.ref_count != ref_count:
@@ -115,8 +119,8 @@ def resume_point(result_path: str, ref_count: int, device_num: int = 1,
     result_size = os.path.getsize(result_path)
     done = 0
     offset = 0
-    for j in range(info.block_num):
-        bucket_bytes = sum(info.device_read_counts[j]) * ref_count * itemsize
+    for counts in info.device_read_counts:
+        bucket_bytes = sum(counts) * ref_count * itemsize
         if offset + bucket_bytes > result_size:
             break
         offset += bucket_bytes
@@ -128,7 +132,10 @@ def resume_point(result_path: str, ref_count: int, device_num: int = 1,
     return done
 
 
-def read_info(info_path: str) -> InfoData:
+def read_info(info_path: str, allow_partial: bool = False) -> InfoData:
+    """Parse a ``.info`` manifest. With ``allow_partial`` (crash recovery),
+    a manifest holding fewer records than the header's block_num yields the
+    complete-record prefix instead of raising; a short header still raises."""
     try:
         with open(info_path, "rb") as f:
             block_num, device_num, ref_count = struct.unpack("<iiq", f.read(16))
@@ -138,8 +145,11 @@ def read_info(info_path: str) -> InfoData:
                     f"device_num={device_num}, ref_count={ref_count})")
             counts, extras = [], []
             for _ in range(block_num):
-                row = struct.unpack(f"<{device_num}q", f.read(8 * device_num))
-                (extra,) = struct.unpack("<i", f.read(4))
+                rec = f.read(8 * device_num + 4)
+                if allow_partial and len(rec) < 8 * device_num + 4:
+                    break
+                row = struct.unpack(f"<{device_num}q", rec[: 8 * device_num])
+                (extra,) = struct.unpack("<i", rec[8 * device_num :])
                 counts.append(list(row))
                 extras.append(extra)
     except struct.error as e:  # short read / truncated record

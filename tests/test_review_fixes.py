@@ -101,3 +101,36 @@ def test_nib_warm_only_for_pad_owning_role(tmp_path, rng):
         transports[host] = {k[4] for k in engine._exec}
     assert "nib" not in transports[0], transports
     assert "nib" in transports[1], transports
+
+
+def test_resume_point_uses_partial_manifest_prefix(tmp_path, rng):
+    """A SIGKILL mid-run leaves fewer .info records than the header's
+    block_num; the complete-record prefix must resume (done > 0), not
+    restart from scratch (a 10M run has ~53 buckets of finished work)."""
+    from bgsa_tpu.io import result as result_io
+
+    n = 20
+    qp, sp = _write_ds(tmp_path, rng, S=700, n=n)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=256 * (n + 1))
+    out = str(tmp_path / "full.bin")
+    pl_mod.run_alignment(qp, sp, out, config=cfg)
+    want = open(out, "rb").read()
+    want_info = open(out + ".info", "rb").read()
+
+    db = seqfile.DatabaseReader(sp, cfg.bucket_size, cfg.v_num)
+    counts = db.bucket_counts()
+    b0_bytes = counts[0][0] * 2 * 2  # bucket-0 rows x 2 queries x int16
+    # crash state: manifest has only bucket 0's record; result holds bucket 0
+    # plus half of bucket 1
+    with open(out + ".info", "r+b") as f:
+        f.truncate(16 + 8 + 4)
+    with open(out, "r+b") as f:
+        f.truncate(b0_bytes + 100)
+
+    done = result_io.resume_point(out, 2, write_dtype=np.int16,
+                                  expected_buckets=counts)
+    assert done == 1
+
+    pl_mod.run_alignment(qp, sp, out, config=cfg, resume=True)
+    assert open(out, "rb").read() == want
+    assert open(out + ".info", "rb").read() == want_info
