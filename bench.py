@@ -28,7 +28,6 @@ after a pause if it lands in one of the service's documented bad windows.
 import json
 import os
 import statistics
-import subprocess
 import sys
 import time
 
@@ -36,25 +35,12 @@ import numpy as np
 
 BASELINE_GCUPS = 500.0
 
-# Backend init (jax.devices()) blocks inside the remote service's PJRT
-# client when the tunnel is down — observed hanging >2 h with no output on
-# 2026-08-17. Probe it in a subprocess with a generous deadline (the
-# documented slow episodes are multi-minute, not multi-hour) and fall back
-# to the CPU smoke path rather than hanging the driver silently.
+# See bgsa_tpu.benchutil.backend_alive: probe the remote service in a
+# subprocess (init blocks for hours when the tunnel is down) and fall back
+# to a *labeled* CPU smoke run rather than hanging the driver.
 INIT_PROBE_SECS = float(os.environ.get("BGSA_BENCH_PROBE_SECS", "900"))
 
-
-def _backend_alive():
-    if os.environ.get("JAX_PLATFORMS", "") in ("", "cpu"):
-        return True  # CPU init cannot hang; skip the probe
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            timeout=INIT_PROBE_SECS, capture_output=True, text=True)
-        return r.returncode == 0 and "ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+DEGRADED = False  # set when the TPU service is down; marks every JSON line
 
 
 def note(msg):
@@ -64,22 +50,28 @@ def note(msg):
 
 
 def emit(metric, gcups):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(gcups, 1),
-                "unit": "GCUPS",
-                "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
-            }
-        ),
-        flush=True,
-    )
+    rec = {
+        "metric": metric,
+        "value": round(gcups, 1),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+    }
+    if DEGRADED:
+        # The round-over-round record must never ingest CPU smoke numbers
+        # as chip numbers: rewrite the label and add a machine-readable flag.
+        rec["metric"] = f"[DEGRADED: TPU service down, CPU smoke shapes] {metric}"
+        rec["degraded"] = True
+    print(json.dumps(rec), flush=True)
 
 
 def main():
-    dead = not _backend_alive()
+    global DEGRADED
+
+    from bgsa_tpu.benchutil import backend_alive, chain_of, filter_mix_dataset
+
+    dead = not backend_alive(INIT_PROBE_SECS)
     if dead:
+        DEGRADED = True
         note(f"backend init unresponsive after {INIT_PROBE_SECS:.0f} s; "
              "falling back to the CPU smoke path (values are NOT chip "
              "numbers — the TPU service was down for this run)")
@@ -90,7 +82,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from bgsa_tpu import oracle, pack
-    from bgsa_tpu.benchutil import chain_of
     from bgsa_tpu.ops import banded, bitpal_packed, myers_semiglobal, myers_xla
 
     try:
@@ -108,7 +99,7 @@ def main():
     subjects = rng.integers(0, 4, size=(S, n))
     qd = jax.device_put(queries)
 
-    def measure(run_q, queries_dev, n_chain, reps=reps):
+    def build_sample(run_q, queries_dev, n_chain):
         if not on_tpu:
             n_chain = min(n_chain, 2)
         sample = chain_of(run_q, queries_dev, n_chain)
@@ -116,6 +107,9 @@ def main():
              "remote call can take minutes)")
         sample()  # warm (forces the remote program load on first use)
         note("warm; timing")
+        return sample, n_chain
+
+    def timed_reps(sample, n_chain, reps=reps):
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -123,6 +117,10 @@ def main():
             times.append((time.perf_counter() - t0) / n_chain)
         note(f"timed {reps} reps, median {statistics.median(times)*1e3:.1f} ms/kernel")
         return statistics.median(times)
+
+    def measure(run_q, queries_dev, n_chain, reps=reps):
+        sample, nc = build_sample(run_q, queries_dev, n_chain)
+        return timed_reps(sample, nc, reps)
 
     # --- 1. unit-cost global Myers (headline) ---
     if on_tpu:
@@ -142,32 +140,29 @@ def main():
     assert (out[0, :4] == want).all(), (out[0, :4], want)
 
     cells = Q * m * S * n
-    t_first = time.perf_counter()
-    med = measure(run, qd, 10)
-    first_wall = time.perf_counter() - t_first
-    gcups = cells / med / 1e9
-    if on_tpu and gcups < 4500 and first_wall < 240:
+    sample, nc = build_sample(run, qd, 10)
+    t_reps = time.perf_counter()
+    gcups = cells / timed_reps(sample, nc) / 1e9
+    reps_wall = time.perf_counter() - t_reps
+    if on_tpu and gcups < 4500 and reps_wall < 240:
         # The remote service has documented ~10x bad windows unrelated to
-        # the kernel (CLAUDE.md); re-measure once after a pause and report
-        # the better window's median. Skipped when even the first pass
-        # crawled (a retry would risk the caller's timeout instead).
+        # the kernel (CLAUDE.md); re-measure once after a pause, REUSING the
+        # warmed sampler (a fresh chain_of would re-trace and pay the
+        # multi-minute remote program load again), and report the better
+        # window's median. The gate is on the timed reps' wall clock only —
+        # a slow one-time compile episode must not veto the retry. Skipped
+        # when the reps themselves crawled (a retry would risk the caller's
+        # timeout instead).
         note(f"bad window ({gcups:.0f} GCUPS); re-measuring after 90 s")
         time.sleep(90)
-        gcups = max(gcups, cells / measure(run, qd, 10) / 1e9)
+        gcups = max(gcups, cells / timed_reps(sample, nc) / 1e9)
     emit("unit-cost Myers cal GCUPS (1 chip, 500bp x 500bp)", gcups)
 
     # --- 2. banded-Myers filter (k=8, 150bp reads) ---
     note("banded: packing streams")
     k, nb = 8, 150
     Sb, Qb = (65536, 8) if on_tpu else (1024, 2)
-    qb = rng.integers(0, 4, size=(Qb, nb)).astype(np.int32)
-    sb = rng.integers(0, 4, size=(Sb, nb))
-    for i in range(int(Sb * 0.3)):  # realistic filter mix: 30% near-matches
-        s2 = qb[i % Qb].copy()
-        pos = rng.choice(nb, size=rng.integers(0, 6), replace=False)
-        s2[pos] = rng.integers(0, 4, size=len(pos))
-        sb[i] = s2
-    rng.shuffle(sb, axis=0)
+    qb, sb = filter_mix_dataset(rng, Qb, Sb, nb)
     qbd = jax.device_put(qb)
     bkw = dict(q_len=nb, s_len=nb, k=k)
     if on_tpu:

@@ -188,15 +188,33 @@ def convert_result(result_path: str, out_path: str, write_dtype=np.int16,
     Uses the native C++ walker (native/bgsa_native.cpp) when available — the
     per-line Python loop is the bottleneck at tens of millions of scores.
     """
+    import os
+
     from .. import native
 
     if write_dtype is None:
         write_dtype = infer_write_dtype(result_path, ref_bucket_count)
 
-    if native.convert_result(result_path, out_path, np.dtype(write_dtype).itemsize,
+    # Validate BEFORE the native walker: it computes offsets straight from
+    # the manifest, so a truncated result file or corrupt .info would
+    # SIGSEGV/terminate the process (and the Python memmap path would
+    # silently emit fewer lines).
+    info = read_info(result_path + ".info")
+    itemsize = np.dtype(write_dtype).itemsize
+    need = itemsize * info.ref_count * sum(
+        sum(counts) for counts in info.device_read_counts
+    )
+    size = os.path.getsize(result_path)
+    if size != need:
+        raise ValueError(
+            f"{result_path}: holds {size} bytes but the .info manifest "
+            f"describes {need} (truncated result, wrong --banded flag, or "
+            "mismatched manifest)"
+        )
+
+    if native.convert_result(result_path, out_path, itemsize,
                              ref_bucket_count):
         return
-    info = read_info(result_path + ".info")
     data = np.memmap(result_path, dtype=write_dtype, mode="r")
 
     # Per-(block, device) matrix offsets in the blocked file layout.

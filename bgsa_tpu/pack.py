@@ -50,6 +50,15 @@ def pack_eq(codes: np.ndarray, word_bits: int = 31) -> np.ndarray:
       codes[s, w*word_bits + b] == c.
     """
     codes = np.atleast_2d(np.asarray(codes))
+    from . import native
+
+    if codes.size == 0 or (0 <= codes.min() and codes.max() <= 4):
+        # The C packer indexes planes by raw code value; out-of-range codes
+        # (e.g. PAD_CODE re-packs) take the pure-NumPy path, which maps them
+        # to no plane.
+        fast = native.pack_eq(codes, word_bits)
+        if fast is not None:
+            return fast
     S, L = codes.shape
     W = word_count(L, word_bits)
     padded = np.full((S, W * word_bits), PAD_CODE, dtype=np.int16)

@@ -117,6 +117,14 @@ int bgsa_convert_result(const char* result_path, const char* info_path,
     fclose(info);
     return -2;
   }
+  // The Python caller (io/result.convert_result) validates the manifest and
+  // result size before dispatching here; these guards keep a direct caller
+  // with a corrupt header from a bad_alloc/terminate or an mmap overrun.
+  if (block_num < 0 || device_num < 1 || ref_count < 0 ||
+      (int64_t)block_num * device_num > (int64_t)1 << 32) {
+    fclose(info);
+    return -2;
+  }
   std::vector<int64_t> counts((size_t)block_num * device_num);
   std::vector<int32_t> extras(block_num);
   for (int j = 0; j < block_num; j++) {
@@ -130,8 +138,6 @@ int bgsa_convert_result(const char* result_path, const char* info_path,
 
   MappedFile res;
   if (!res.open(result_path)) return -3;
-  FILE* out = fopen(out_path, "wb");
-  if (!out) return -4;
 
   // Query buckets.
   std::vector<std::pair<int64_t, int64_t>> qbuckets;
@@ -148,9 +154,13 @@ int bgsa_convert_result(const char* result_path, const char* info_path,
         offs[((size_t)j * qbuckets.size() + m) * device_num + t] = pos;
         pos += (qbuckets[m].second - qbuckets[m].first) * counts[(size_t)j * device_num + t];
       }
+  if ((uint64_t)pos * itemsize != res.size) return -5;  // truncated/mismatched
 
+  FILE* out = fopen(out_path, "wb");
+  if (!out) return -4;
   std::vector<char> buf(1 << 20);
   size_t used = 0;
+  bool werr = false;
   for (size_t m = 0; m < qbuckets.size(); m++) {
     for (int64_t i = qbuckets[m].first; i < qbuckets[m].second; i++) {
       for (int j = 0; j < block_num; j++) {
@@ -161,7 +171,7 @@ int bgsa_convert_result(const char* result_path, const char* info_path,
                          (i - qbuckets[m].first) * cnt;
           for (int64_t k = 0; k < keep; k++) {
             if (used + 32 > buf.size()) {
-              fwrite(buf.data(), 1, used, out);
+              werr |= fwrite(buf.data(), 1, used, out) != used;
               used = 0;
             }
             used += itoa_fast(load_score(res.data, base + k, itemsize), &buf[used]);
@@ -171,9 +181,11 @@ int bgsa_convert_result(const char* result_path, const char* info_path,
       }
     }
   }
-  if (used) fwrite(buf.data(), 1, used, out);
-  fclose(out);
-  return 0;
+  if (used) werr |= fwrite(buf.data(), 1, used, out) != used;
+  werr |= fclose(out) != 0;
+  // A short write (ENOSPC/EIO) must not report success over a truncated
+  // output; the Python fallback re-runs and raises a proper OSError.
+  return werr ? -6 : 0;
 }
 
 // Banded Peq packing (see bgsa_tpu.pack.pack_banded): initial 64-bit window

@@ -30,10 +30,17 @@ def main():
     ap.add_argument("--quick", action="store_true", help="smaller shapes, fewer reps")
     args = ap.parse_args()
 
+    from bgsa_tpu.benchutil import backend_alive, chain_of, filter_mix_dataset
+
+    if not backend_alive():
+        raise SystemExit(
+            "TPU service unresponsive (backend init probe timed out); "
+            "retry later or run with JAX_PLATFORMS=cpu for the XLA rows"
+        )
+
     import jax
 
     from bgsa_tpu import pack
-    from bgsa_tpu.benchutil import chain_of
     from bgsa_tpu.ops import (banded, bitpal, bitpal_packed, myers_pallas,
                               myers_semiglobal, myers_xla)
 
@@ -113,14 +120,7 @@ def main():
     nb = 150
     Sb = 8192 if args.quick or not on_tpu else 65536
     Qb = 8
-    qb = rng.integers(0, 4, size=(Qb, nb)).astype(np.int32)
-    sb = rng.integers(0, 4, size=(Sb, nb))
-    for i in range(int(Sb * 0.3)):  # 30% near-duplicates of some query
-        s = qb[i % Qb].copy()
-        pos = rng.choice(nb, size=rng.integers(0, 6), replace=False)
-        s[pos] = rng.integers(0, 4, size=len(pos))
-        sb[i] = s
-    rng.shuffle(sb, axis=0)
+    qb, sb = filter_mix_dataset(rng, Qb, Sb, nb)  # same mix as bench.py
     il, ih, inj = map(jax.device_put, pack.pack_banded(sb, k, nb))
     qbd = jax.device_put(qb)
     bkw = dict(q_len=nb, s_len=nb, k=k)

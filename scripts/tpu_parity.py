@@ -8,14 +8,23 @@ TPU-specific miscompiles the CPU suite cannot.
 Usage: python scripts/tpu_parity.py [seed]   (first run compiles ~10 kernels)
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from bgsa_tpu.benchutil import backend_alive
+
+    if not backend_alive():
+        raise SystemExit(
+            "TPU service unresponsive (backend init probe timed out); "
+            "retry in a later service window"
+        )
+
     import jax
 
     from bgsa_tpu import pack

@@ -134,3 +134,20 @@ def test_resume_point_uses_partial_manifest_prefix(tmp_path, rng):
     pl_mod.run_alignment(qp, sp, out, config=cfg, resume=True)
     assert open(out, "rb").read() == want
     assert open(out + ".info", "rb").read() == want_info
+
+
+def test_convert_rejects_truncated_result(tmp_path, rng):
+    """convert must fail cleanly on a result file shorter than its manifest
+    describes — the native walker would otherwise read the mmap past EOF
+    (SIGSEGV) and the Python memmap path would silently emit fewer lines."""
+    from bgsa_tpu.io import result as result_io
+
+    n = 20
+    qp, sp = _write_ds(tmp_path, rng, S=300, n=n)
+    out = str(tmp_path / "r.bin")
+    pl_mod.run_alignment(qp, sp, out, config=pl_mod.PipelineConfig(backend="xla"))
+    with open(out, "r+b") as f:
+        f.truncate(100)
+    with pytest.raises(ValueError, match="manifest describes"):
+        result_io.convert_result(out, str(tmp_path / "r.txt"),
+                                 write_dtype=np.int16)
