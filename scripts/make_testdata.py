@@ -36,6 +36,7 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
+    os.makedirs(args.outdir, exist_ok=True)
     qp = os.path.join(args.outdir, f"query{args.queries}_{args.length}bp.txt")
     sp = os.path.join(args.outdir, f"subj{args.subjects}_{args.length}bp.txt")
     write_lines(qp, args.queries, args.length, rng)
