@@ -140,7 +140,9 @@ def myers_global(
     C, W, S = eq.shape
     Q, m = queries.shape
     if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
-        unroll = 1 if interpret else 20
+        # Interleaved-median A/B vs u20 (2026-08-18): +1.1% at 500bp, -0.2%
+        # (noise) at 150bp — matches the full-word kernel's u30 default.
+        unroll = 1 if interpret else 30
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES
