@@ -4,7 +4,9 @@ Functional equivalent of the reference ``convert -f`` / ``convert -q``
 (``/root/reference/original/BGSA_CPU/convert.c:33-165``): strip headers and
 (for FASTQ) quality lines, emit one sequence per line. Unlike the reference's
 byte-scanner, the FASTQ path parses proper 4-line records, so quality strings
-containing '@' don't corrupt the output.
+containing '@' don't corrupt the output, and both paths strip CRLF line
+endings (the reference would embed the '\r' into every emitted sequence,
+where the aligner's mapping table silently reads it as 'A').
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ def convert_fasta(input_path: str, output_path: str) -> None:
                     fout.write(b"\n")
                 first = False
                 continue
-            fout.write(line.rstrip(b"\n"))
+            fout.write(line.rstrip(b"\r\n"))
         fout.write(b"\n")
 
 
@@ -29,7 +31,7 @@ def convert_fastq(input_path: str, output_path: str) -> None:
             header = fin.readline()
             if not header:
                 break
-            seq = fin.readline().rstrip(b"\n")
+            seq = fin.readline().rstrip(b"\r\n")
             fin.readline()  # '+'
             fin.readline()  # quality
             fout.write(seq + b"\n")

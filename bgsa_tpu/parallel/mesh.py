@@ -14,8 +14,6 @@ unnecessary: even splits are optimal.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -91,6 +91,21 @@ def test_fasta_fastq(tmp_path):
     assert out.read_text() == "ACGT\nGGGG\n"
 
 
+def test_fasta_fastq_crlf(tmp_path):
+    # CRLF inputs must not leak '\r' into the fixed-length line format
+    # (the aligner's mapping table would silently score it as 'A').
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">s1\r\nACGT\r\nACGT\r\n>s2\r\nTTTT\r\n")
+    out = tmp_path / "out.txt"
+    fastx.convert_fasta(str(fa), str(out))
+    assert out.read_bytes() == b"ACGTACGT\nTTTT\n"
+
+    fq = tmp_path / "in.fq"
+    fq.write_bytes(b"@r1\r\nACGT\r\n+\r\n@@@@\r\n@r2\r\nGGGG\r\n+\r\nIIII\r\n")
+    fastx.convert_fastq(str(fq), str(out))
+    assert out.read_bytes() == b"ACGT\nGGGG\n"
+
+
 def test_query_file_trailing_blank_lines(tmp_path):
     from bgsa_tpu.io import seqfile
 
