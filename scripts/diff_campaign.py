@@ -50,6 +50,23 @@ def write_seq(path, arr):
     seqfile.write_seq_file(path, arr)
 
 
+def write_fasta(path, arr):
+    """Same sequences as FASTA (exercises the CLI's auto-convert input path)."""
+    lut = np.frombuffer(b"ACGTN", np.uint8)
+    with open(path, "wb") as f:
+        for i, row in enumerate(np.asarray(arr)):
+            f.write(b">seq%d comment\n" % i + lut[row].tobytes() + b"\n")
+
+
+def write_fastq(path, arr):
+    """Same sequences as FASTQ ('@'-containing qualities included)."""
+    lut = np.frombuffer(b"ACGTN", np.uint8)
+    with open(path, "wb") as f:
+        for i, row in enumerate(np.asarray(arr)):
+            f.write(b"@read%d\n" % i + lut[row].tobytes() + b"\n+\n"
+                    + b"@" * len(row) + b"\n")
+
+
 class RefCrash(Exception):
     """The reference binary aborted on this dataset (its own fragility:
     e.g. the AVX2/AVX512 ports heap-overflow when the subject count is
@@ -184,8 +201,10 @@ def one_case(seed):
             S = int(rng.integers(1, 800))
             m = int(rng.integers(1, 170))
             n = int(rng.integers(1, 170))
-            write_seq(qp, rng.integers(0, 4, size=(Q, m)))
-            write_seq(sp, rng.integers(0, 4, size=(S, n)))
+            q = rng.integers(0, 4, size=(Q, m))
+            s = rng.integers(0, 4, size=(S, n))
+            write_seq(qp, q)
+            write_seq(sp, s)
             extra = []
             hosts = 0
             variant = (seed // 7) % 4
@@ -195,10 +214,24 @@ def one_case(seed):
                 extra = ["-N", "4"]
             elif variant == 3:
                 hosts = 2 + seed % 2  # 2- or 3-role split + merge
+            # Rotate our side's input format: the CLI auto-converts
+            # FASTA/FASTQ (the reference needs a manual ./convert pass,
+            # which run_ref's plain-format files stand in for).
+            qp_ours, sp_ours, fmt_tag = qp, sp, ""
+            fmt = (seed // 28) % 3
+            if fmt == 1:
+                qp_ours = os.path.join(tmp, "q.fa")
+                write_fasta(qp_ours, q)
+                fmt_tag = " fasta-q"
+            elif fmt == 2:
+                sp_ours = os.path.join(tmp, "s.fq")
+                write_fastq(sp_ours, s)
+                fmt_tag = " fastq-d"
             a = run_ref(ORIG, tmp, qp, sp)
-            b = run_ours(tmp, qp, sp, extra=extra, hosts=hosts)
+            b = run_ours(tmp, qp_ours, sp_ours, extra=extra, hosts=hosts)
             tag = (f"myers {m}x{n} "
-                   f"{f'{hosts}-role merge' if hosts else ' '.join(extra) or 'default'}")
+                   f"{f'{hosts}-role merge' if hosts else ' '.join(extra) or 'default'}"
+                   f"{fmt_tag}")
         if isinstance(a, RefCrash):
             raise a  # ours completed on this dataset; nothing to compare
         ok = open(a).read() == open(b).read()
