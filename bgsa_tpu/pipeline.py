@@ -206,6 +206,13 @@ class PipelineConfig:
     bitpal_carry: bool = False
 
 
+class _ReaderFailed:
+    """Queue sentinel: the reader thread died with this exception."""
+
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
 class Engine:
     """Compiled scoring step for one normalized scheme.
 
@@ -626,11 +633,35 @@ def run_bucketed(
 
     # Reader thread keeps the device fed (the reference's input_task thread).
     buckets: queue.Queue = queue.Queue(maxsize=config.prefetch)
+    stop_reader = threading.Event()
 
     def read_all():
-        for bucket in db:
-            buckets.put(bucket)
-        buckets.put(None)
+        # A mid-run read failure (disk error, database truncated while we
+        # run) must surface in the main loop, not silently kill this thread
+        # — without the sentinel the main loop would block on buckets.get()
+        # forever. The reference's input thread exits the whole process on
+        # read errors (file.c:13-16); we raise instead.
+        try:
+            payload = None
+            for bucket in db:
+                payload = bucket
+                while not stop_reader.is_set():
+                    try:
+                        buckets.put(bucket, timeout=0.2)
+                        payload = None
+                        break
+                    except queue.Full:
+                        continue
+                if stop_reader.is_set():
+                    return  # main loop failed; don't block on a full queue
+        except BaseException as e:  # noqa: BLE001 — forwarded, re-raised below
+            payload = _ReaderFailed(e)
+        while not stop_reader.is_set():
+            try:
+                buckets.put(payload, timeout=0.2)
+                return
+            except queue.Full:
+                continue
 
     reader = threading.Thread(target=read_all, daemon=True)
     reader.start()
@@ -672,115 +703,125 @@ def run_bucketed(
             stats.write_time += time.perf_counter() - t
             n_pending -= 1
 
-    bucket_index = -1
-    while True:
-        bucket = buckets.get()
-        if bucket is None:
-            break
-        bucket_index += 1
-        if bucket_index < done_buckets:
-            continue  # completed before the interruption
-        codes = bucket.codes
-        if shard is not None:
-            if dynamic and bucket_index > done_buckets:
-                # The previous bucket's measured times steer this bucket's
-                # split (adjust_device_ratio3 between buckets, cal_all.c:1332).
-                times = mh.read_bucket_times(
-                    sync_dir, bucket_index - 1, n_hosts,
-                    timeout=config.sync_timeout, token=sync_token,
-                )
-                dyn_ratios = balancer.update(times)
-            if dynamic:
-                stats.dynamic_ratios.append(list(dyn_ratios))
-                start, count = host_slice(bucket.count, n_hosts, host_id, chunk, dyn_ratios)
-            else:
-                start, count = host_slice(bucket.count, n_hosts, host_id, v_num, shard_ratios)
-            codes = codes[start : start + count]
-            meta.block_counts.append(count)
-            meta.extra_counts.append(bucket.extra_count if host_id == n_hosts - 1 else 0)
-            stats.subject_count += count - meta.extra_counts[-1]
-            # Persist incrementally so shard resume can trust the recorded
-            # split (the file itself arbitrates how many buckets completed).
-            meta.save(meta_path)
-        else:
-            events.append(("bucket", [bucket.count], bucket.extra_count))
-            stats.subject_count += bucket.count - bucket.extra_count
-        real = codes.shape[0]
-        pad_this = pad_to
-        if dynamic:
-            # Chunk-aligned shape so re-splitting cycles through at most
-            # dynamic_grid compiled shapes; warm new ones outside the timed
-            # region (compile in the measurement would distort the balancer).
-            pad_this = -(-real // chunk) * chunk
-            ensure_warm(pad_this)
-            t_bucket = time.perf_counter()
-        if real == 0 and not dynamic:
-            continue
-        if real and real < pad_this:
-            # Shape-pad rows are discarded before writing (unlike the
-            # reference's extra_count 'N' pads inside bucket.codes), so use
-            # code 0 and keep the bucket on the 2-bit transport when its
-            # real rows are N-free.
-            pad = np.zeros((pad_this - real, codes.shape[1]), codes.dtype)
-            codes = np.concatenate([codes, pad])
-        if real:
-            # Host-side transport packing, once per bucket (reused across
-            # query buckets) — the analogue of the reference's pack phase,
-            # billed to mem_total_time like its *_handle_reads
-            # (cal_sse.c:469-487). Under shard_map the sidecar is pre-split
-            # into shard-local position lists (pack.sidecar_pack).
-            t0 = time.perf_counter()
-            transport, payload = pack.select_transport(
-                codes, n_shards=engine.n_shards, threads=_pack_threads(config)
-            )
-            stats.pack_time += time.perf_counter() - t0
-            if hasattr(engine, "compile_for"):
-                # Geometries the pre-warm can't know (sidecar sizes, dynamic
-                # shapes): compile now so cal_time stays compile-free; a
-                # cache hit makes this free.
-                main = payload[0] if isinstance(payload, tuple) else payload
-                sidecar = payload[1].shape[0] if isinstance(payload, tuple) else 0
-                t0 = time.perf_counter()
-                for nq in sorted({qb.shape[0] for qb in q_buckets}):
-                    engine.compile_for(nq, queries.shape[1], main.shape[0],
-                                       codes.shape[1], transport, sidecar)
-                dt = time.perf_counter() - t0
-                stats.compile_time += dt
+    try:
+        bucket_index = -1
+        while True:
+            bucket = buckets.get()
+            if bucket is None:
+                break
+            if isinstance(bucket, _ReaderFailed):
+                raise OSError(
+                    f"reading {db_path} failed mid-run: {bucket.error}"
+                ) from bucket.error
+            bucket_index += 1
+            if bucket_index < done_buckets:
+                continue  # completed before the interruption
+            codes = bucket.codes
+            if shard is not None:
+                if dynamic and bucket_index > done_buckets:
+                    # The previous bucket's measured times steer this bucket's
+                    # split (adjust_device_ratio3 between buckets, cal_all.c:1332).
+                    times = mh.read_bucket_times(
+                        sync_dir, bucket_index - 1, n_hosts,
+                        timeout=config.sync_timeout, token=sync_token,
+                    )
+                    dyn_ratios = balancer.update(times)
                 if dynamic:
-                    t_bucket += dt  # keep compile out of the balancer's wall time
-            for qb in q_buckets:
-                t_cal = time.perf_counter()
-                dev_scores = engine.scores_packed(qb, transport, payload, codes.shape[1])
-                stats.cal_time += time.perf_counter() - t_cal  # async dispatch
-                events.append(("scores", dev_scores, real, bucket_index))
-                n_pending += 1
-                drain(1)
-        if dynamic:
-            # Per-bucket barrier: the measured wall time (pack + compute +
-            # fetch + write) is this host's previous_device_times entry.
-            # Floored so a host with an empty slice can't report ~0 time and
-            # blow up the next ratio update.
-            drain(0)
-            if _test_sleep:
-                time.sleep(_test_sleep)  # test hook: artificially slow host
-            # Flush the shard bytes to the OS before publishing the time: a
-            # published time must imply the bucket's scores survive a crash,
-            # or resume's file-size arbitration would replay the bucket and
-            # re-publish a different time than the one peers consumed.
-            writer_fp.flush()
-            mh.write_bucket_time(
-                sync_dir, bucket_index, host_id,
-                max(time.perf_counter() - t_bucket, 1e-3),
-                token=sync_token,
-            )
-        elif _test_sleep:
-            drain(0)
-            time.sleep(_test_sleep)  # test hook (SIGKILL-mid-run tests)
+                    stats.dynamic_ratios.append(list(dyn_ratios))
+                    start, count = host_slice(bucket.count, n_hosts, host_id, chunk, dyn_ratios)
+                else:
+                    start, count = host_slice(bucket.count, n_hosts, host_id, v_num, shard_ratios)
+                codes = codes[start : start + count]
+                meta.block_counts.append(count)
+                meta.extra_counts.append(bucket.extra_count if host_id == n_hosts - 1 else 0)
+                stats.subject_count += count - meta.extra_counts[-1]
+                # Persist incrementally so shard resume can trust the recorded
+                # split (the file itself arbitrates how many buckets completed).
+                meta.save(meta_path)
+            else:
+                events.append(("bucket", [bucket.count], bucket.extra_count))
+                stats.subject_count += bucket.count - bucket.extra_count
+            real = codes.shape[0]
+            pad_this = pad_to
+            if dynamic:
+                # Chunk-aligned shape so re-splitting cycles through at most
+                # dynamic_grid compiled shapes; warm new ones outside the timed
+                # region (compile in the measurement would distort the balancer).
+                pad_this = -(-real // chunk) * chunk
+                ensure_warm(pad_this)
+                t_bucket = time.perf_counter()
+            if real == 0 and not dynamic:
+                continue
+            if real and real < pad_this:
+                # Shape-pad rows are discarded before writing (unlike the
+                # reference's extra_count 'N' pads inside bucket.codes), so use
+                # code 0 and keep the bucket on the 2-bit transport when its
+                # real rows are N-free.
+                pad = np.zeros((pad_this - real, codes.shape[1]), codes.dtype)
+                codes = np.concatenate([codes, pad])
+            if real:
+                # Host-side transport packing, once per bucket (reused across
+                # query buckets) — the analogue of the reference's pack phase,
+                # billed to mem_total_time like its *_handle_reads
+                # (cal_sse.c:469-487). Under shard_map the sidecar is pre-split
+                # into shard-local position lists (pack.sidecar_pack).
+                t0 = time.perf_counter()
+                transport, payload = pack.select_transport(
+                    codes, n_shards=engine.n_shards, threads=_pack_threads(config)
+                )
+                stats.pack_time += time.perf_counter() - t0
+                if hasattr(engine, "compile_for"):
+                    # Geometries the pre-warm can't know (sidecar sizes, dynamic
+                    # shapes): compile now so cal_time stays compile-free; a
+                    # cache hit makes this free.
+                    main = payload[0] if isinstance(payload, tuple) else payload
+                    sidecar = payload[1].shape[0] if isinstance(payload, tuple) else 0
+                    t0 = time.perf_counter()
+                    for nq in sorted({qb.shape[0] for qb in q_buckets}):
+                        engine.compile_for(nq, queries.shape[1], main.shape[0],
+                                           codes.shape[1], transport, sidecar)
+                    dt = time.perf_counter() - t0
+                    stats.compile_time += dt
+                    if dynamic:
+                        t_bucket += dt  # keep compile out of the balancer's wall time
+                for qb in q_buckets:
+                    t_cal = time.perf_counter()
+                    dev_scores = engine.scores_packed(qb, transport, payload, codes.shape[1])
+                    stats.cal_time += time.perf_counter() - t_cal  # async dispatch
+                    events.append(("scores", dev_scores, real, bucket_index))
+                    n_pending += 1
+                    drain(1)
+            if dynamic:
+                # Per-bucket barrier: the measured wall time (pack + compute +
+                # fetch + write) is this host's previous_device_times entry.
+                # Floored so a host with an empty slice can't report ~0 time and
+                # blow up the next ratio update.
+                drain(0)
+                if _test_sleep:
+                    time.sleep(_test_sleep)  # test hook: artificially slow host
+                # Flush the shard bytes to the OS before publishing the time: a
+                # published time must imply the bucket's scores survive a crash,
+                # or resume's file-size arbitration would replay the bucket and
+                # re-publish a different time than the one peers consumed.
+                writer_fp.flush()
+                mh.write_bucket_time(
+                    sync_dir, bucket_index, host_id,
+                    max(time.perf_counter() - t_bucket, 1e-3),
+                    token=sync_token,
+                )
+            elif _test_sleep:
+                drain(0)
+                time.sleep(_test_sleep)  # test hook (SIGKILL-mid-run tests)
 
-    drain(0)
-    while events:  # trailing bucket records (empty shard slices)
-        ev = events.popleft()
-        writer.start_bucket(*ev[1:])
+        drain(0)
+        while events:  # trailing bucket records (empty shard slices)
+            ev = events.popleft()
+            writer.start_bucket(*ev[1:])
+    finally:
+        # Release a reader blocked on a full queue: any exception
+        # escaping the loop (engine failure, -D dead-peer timeout)
+        # must not leak a thread holding the database file open.
+        stop_reader.set()
     reader.join()
     if shard is not None:
         writer_fp.close()

@@ -307,3 +307,33 @@ def test_convert_and_merge_report_malformed_files(tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["convert", "-r", str(res), "-o", str(tmp_path / "o.txt")])
     assert ".info" in capsys.readouterr().err
+
+
+def test_reader_thread_failure_raises_instead_of_hanging(tmp_path, rng, monkeypatch):
+    """A mid-run database read failure must surface as an error in the main
+    loop — before the fix the reader thread died without enqueuing its
+    sentinel and run_alignment blocked on the bucket queue forever."""
+    import threading
+
+    from bgsa_tpu import pipeline as pl_mod
+
+    qp, sp = _write_inputs(tmp_path, rng, S=600)
+    real_reader = pl_mod.seqfile.DatabaseReader
+
+    class FailingReader(real_reader):
+        def __iter__(self):
+            it = super().__iter__()
+            yield next(it)  # first bucket reads fine
+            raise OSError("disk pulled mid-run")
+
+    monkeypatch.setattr(pl_mod.seqfile, "DatabaseReader", FailingReader)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=128 * 21)
+    before = threading.active_count()
+    with pytest.raises(OSError, match="disk pulled mid-run"):
+        pl_mod.run_alignment(qp, sp, str(tmp_path / "r.bin"), config=cfg)
+    # the reader thread must exit too (stop event), not leak blocked on a
+    # full queue holding the database file open
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
