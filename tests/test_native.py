@@ -12,18 +12,26 @@ def lib():
     return lib
 
 
-def python_pack_banded(codes, k, qlen):
-    """Force the pure-Python path for comparison."""
-    import importlib
+import contextlib
+
+
+@contextlib.contextmanager
+def pure_python():
+    """Force the pure-NumPy fallbacks (the no-g++ production path)."""
     import os
 
     os.environ["BGSA_NO_NATIVE"] = "1"
+    native._tried, native._lib = True, None
     try:
-        native._tried, native._lib = True, None
-        return pack.pack_banded(codes, k, qlen)
+        yield
     finally:
         del os.environ["BGSA_NO_NATIVE"]
         native._tried = False
+
+
+def python_pack_banded(codes, k, qlen):
+    with pure_python():
+        return pack.pack_banded(codes, k, qlen)
 
 
 def test_pack_banded_matches_python(lib, rng):
@@ -38,7 +46,27 @@ def test_pack_eq_matches_python(lib, rng):
     codes = rng.integers(0, 5, size=(13, 70)).astype(np.uint8)
     for wb in (31, 32):
         got = native.pack_eq(codes, wb)
-        np.testing.assert_array_equal(got, pack.pack_eq(codes, wb))
+        # the pure path must be forced: pack.pack_eq with in-range codes
+        # routes straight back to the native packer (a native-vs-native
+        # compare would be vacuous)
+        with pure_python():
+            want = pack.pack_eq(codes, wb)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_transport_pack_matches_python(lib, rng):
+    """The pure-NumPy nibble/2-bit/count_n fallbacks (used when g++ is
+    absent) must produce byte-identical payloads to the native packers —
+    a divergence would silently corrupt every subject upload there."""
+    codes = rng.integers(0, 5, size=(300, 73)).astype(np.uint8)
+    clean = rng.integers(0, 4, size=(256, 41)).astype(np.uint8)
+    nib_native = pack.nibble_pack(codes)
+    two_native = pack.two_bit_pack(clean)
+    n_native = native.count_n(codes)
+    with pure_python():
+        np.testing.assert_array_equal(pack.nibble_pack(codes), nib_native)
+        np.testing.assert_array_equal(pack.two_bit_pack(clean), two_native)
+        assert int(np.count_nonzero(codes > 3)) == n_native
 
 
 def test_native_convert_matches_python(lib, tmp_path, rng):
