@@ -8,7 +8,6 @@ with cells = ref_len * ref_count * read_len * subject_count.
 from __future__ import annotations
 
 import dataclasses
-import time
 
 
 @dataclasses.dataclass
@@ -66,14 +65,3 @@ class RunStats:
             f"Total GCUPS is {self.gcups(self.total_time):.2f}",
         ]
         return "\n".join(lines)
-
-
-class Timer:
-    def __init__(self):
-        self.t0 = time.perf_counter()
-
-    def lap(self) -> float:
-        now = time.perf_counter()
-        dt = now - self.t0
-        self.t0 = now
-        return dt

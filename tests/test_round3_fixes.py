@@ -337,3 +337,23 @@ def test_reader_thread_failure_raises_instead_of_hanging(tmp_path, rng, monkeypa
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_stats_json_output(tmp_path, rng):
+    """--stats-json writes parseable run statistics with the reference's
+    phase fields and computed GCUPS."""
+    import json
+
+    qp, sp = _write_inputs(tmp_path, rng)
+    sj = tmp_path / "stats.json"
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "r.bin"),
+                   "--quiet", "--backend", "xla", "--stats-json", str(sj)])
+    assert rc == 0
+    d = json.loads(sj.read_text())
+    assert d["query_count"] == 2 and d["subject_count"] == 200
+    for key in ("read_time", "pack_time", "cal_time", "write_time",
+                "compile_time", "total_time", "cal_gcups", "total_gcups",
+                "bucket_cal_times"):
+        assert key in d
+    assert d["cal_gcups"] is None or d["cal_gcups"] > 0
+    assert d["total_time"] > 0
