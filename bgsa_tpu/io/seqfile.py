@@ -111,7 +111,21 @@ class DatabaseReader:
                 raw = f.read(take * self.stride)
                 if len(raw) < take * self.stride:  # missing final newline
                     raw = raw + b"\n"
-                arr = np.frombuffer(raw, np.uint8).reshape(take, self.stride)[:, : self.length]
+                full = np.frombuffer(raw, np.uint8).reshape(take, self.stride)
+                # The size check in __init__ is modular arithmetic only — a
+                # ragged file whose total size happens to line up (e.g. one
+                # long and one short line) would misparse silently, shifting
+                # newlines into sequences (code 0). The newline column is
+                # dropped anyway; validating it is one vectorized compare.
+                nl_col = full[:, self.length]
+                if not (nl_col == ord("\n")).all():
+                    bad = int(np.argmax(nl_col != ord("\n")))
+                    raise ValueError(
+                        f"{self.path}: not fixed-length lines of "
+                        f"{self.length} bp (ragged line near sequence "
+                        f"{b * self.seqs_per_bucket + bad})"
+                    )
+                arr = full[:, : self.length]
                 extra = 0
                 if b == self.bucket_count - 1 and take % self.v_num:
                     extra = self.v_num - take % self.v_num
@@ -133,8 +147,15 @@ def read_queries(path: str) -> np.ndarray:
     if len(raw) % stride:
         raise ValueError(f"{path}: not fixed-length lines of {length} bp")
     count = len(raw) // stride
-    arr = np.frombuffer(raw[: count * stride], np.uint8).reshape(count, stride)[:, :length]
-    return pack.encode_ascii(arr)
+    full = np.frombuffer(raw[: count * stride], np.uint8).reshape(count, stride)
+    nl_col = full[:, length]
+    if not (nl_col == ord("\n")).all():  # ragged sizes can still line up
+        bad = int(np.argmax(nl_col != ord("\n")))
+        raise ValueError(
+            f"{path}: not fixed-length lines of {length} bp "
+            f"(ragged line near sequence {bad})"
+        )
+    return pack.encode_ascii(full[:, :length])
 
 
 def write_seq_file(path: str, codes_or_ascii: np.ndarray) -> None:

@@ -173,3 +173,64 @@ def test_cli_accepts_fastx_inputs(tmp_path, rng):
     assert cli.main(["align", "-q", qp, "-d", sp, "-f", r2, "--backend", "xla",
                      "--quiet"]) == 0
     assert open(r1, "rb").read() == open(r2, "rb").read()
+
+
+def test_input_error_branches(tmp_path, rng):
+    """Malformed inputs fail with clear ValueErrors (the reference printf+
+    exits or silently corrupts): ragged lines, empty files, impossible
+    bucket sizes, and wrong-size result files."""
+    ragged = tmp_path / "ragged.txt"
+    ragged.write_bytes(b"ACGT\nACGTTT\n")  # size check catches this one
+    with pytest.raises(ValueError, match="fixed-length"):
+        seqfile.DatabaseReader(str(ragged))
+    with pytest.raises(ValueError, match="fixed-length"):
+        seqfile.read_queries(str(ragged))
+
+    # Ragged files whose byte size happens to line up with the modulo check
+    # (here: 14 ≡ 4 ≡ len mod stride) must still be caught — before the
+    # newline-column validation they were silently misparsed, newlines
+    # shifting into sequences as code 0 ('A').
+    sneaky = tmp_path / "sneaky.txt"
+    sneaky.write_bytes(b"ACGT\nACGTT\nAC\n")
+    with pytest.raises(ValueError, match="ragged line"):
+        list(seqfile.DatabaseReader(str(sneaky)))
+    sneaky_q = tmp_path / "sneaky_q.txt"
+    sneaky_q.write_bytes(b"ACGT\nACGTTTACG\n")  # 15 ≡ 0 mod stride
+    with pytest.raises(ValueError, match="ragged line"):
+        seqfile.read_queries(str(sneaky_q))
+
+    empty = tmp_path / "empty.txt"
+    empty.write_bytes(b"")
+    with pytest.raises(ValueError, match="empty"):
+        seqfile.DatabaseReader(str(empty))
+    with pytest.raises(ValueError, match="empty"):
+        seqfile.read_queries(str(empty))
+
+    ok = tmp_path / "ok.txt"
+    seqfile.write_seq_file(str(ok), rng.integers(0, 4, size=(300, 40)))
+    with pytest.raises(ValueError, match="bucket_size too small"):
+        seqfile.DatabaseReader(str(ok), bucket_size=41, v_num=128)
+
+    # result size matching neither int8 nor int16 per the manifest
+    res = tmp_path / "r.bin"
+    w = result_io.ResultWriter(str(res), ref_count=2, block_num=1, device_num=1)
+    w.start_bucket([4], 0)
+    w.write_scores(np.zeros((2, 4), np.int16))
+    w.close()
+    with open(res, "ab") as f:
+        f.write(b"\x00")  # 17 bytes: neither 8 (int8) nor 16 (int16)
+    with pytest.raises(ValueError, match="int8 or int16"):
+        result_io.infer_write_dtype(str(res))
+
+
+def test_ratio_file_error_branches(tmp_path):
+    from bgsa_tpu.parallel.multihost import read_ratio_file
+
+    short = tmp_path / "short.txt"
+    short.write_text("1.0 2.0\n")
+    with pytest.raises(ValueError, match="need 3 values"):
+        read_ratio_file(str(short), 3)
+    bad = tmp_path / "bad.txt"
+    bad.write_text("1.0 0.0\n")
+    with pytest.raises(ValueError, match="zero or negative"):
+        read_ratio_file(str(bad), 2)
