@@ -145,3 +145,33 @@ def test_cli_n_device_count(tmp_path, rng):
     # -n with a multi-platform spec is rejected
     assert cli.main(["align", "-q", qp, "-d", sp, "-f", het,
                      "-t", "cpu+cpu", "-n", "2", "--quiet"]) == 1
+
+
+def test_hetero_worker_error_propagates(tmp_path, rng):
+    """An engine failure inside a device worker thread must surface as the
+    run's exception (not deadlock or a silently truncated result file)."""
+    qp, sp, n = _dataset(tmp_path, rng, S=600)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=512 * (n + 1))
+    engines = [
+        pl_mod.Engine(normalize(Scoring(0, -1, -1), Mode.GLOBAL), cfg)
+        for _ in range(2)
+    ]
+
+    class Boom(RuntimeError):
+        pass
+
+    import threading
+
+    orig = engines[1].scores_packed
+
+    def broken(*a, **k):
+        # fail only inside the device worker thread — the main-thread
+        # warm-up calls must succeed so the error exercises the worker's
+        # errs[] propagation, not the warm-up path
+        if threading.current_thread() is not threading.main_thread():
+            raise Boom("device fell over")
+        return orig(*a, **k)
+
+    engines[1].scores_packed = broken
+    with pytest.raises(Boom, match="device fell over"):
+        run_hetero(engines, qp, sp, str(tmp_path / "r.bin"), cfg)
