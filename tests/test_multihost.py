@@ -1,3 +1,4 @@
+import os
 import subprocess
 
 import jax
@@ -388,3 +389,40 @@ def test_merge_rejects_duplicate_and_unpaired_shards(tmp_path):
     multihost.merge_shards(out, [gp[1], gp[0]], [good[1], good[0]])
     merged = np.fromfile(out, np.int16)
     assert (merged[:128] == 0).all() and (merged[128:] == 1).all()
+
+
+def test_zero_count_middle_host_slice(tmp_path, rng):
+    """A middle host can inherit a zero-subject slice (extreme -R ratios
+    floor its share to no lane groups — here host 1 contributes nothing at
+    all, and host 0's tail-bucket slice is empty too). The shard file is
+    legitimately empty, the sidecar records the zero counts, and merge +
+    convert still reproduce the single-host output byte-for-byte."""
+    Q, m, S, n = 3, 20, 700, 24
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=512 * (n + 1))
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(qp, sp, single, config=cfg)
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single)
+
+    ratios = [1e9, 1.0, 1e9]
+    shard_paths, metas = [], []
+    for h in range(3):
+        p = str(tmp_path / f"shard{h}.bin")
+        _, meta = pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(h, 3),
+                                       shard_ratios=ratios)
+        shard_paths.append(p)
+        metas.append(meta)
+    assert metas[1].block_counts == [0, 0]  # middle host floored to nothing
+    assert os.path.getsize(shard_paths[1]) == 0
+
+    merged = str(tmp_path / "merged.bin")
+    multihost.merge_shards(merged, shard_paths, metas)
+    conv_merged = str(tmp_path / "merged.txt")
+    result_io.convert_result(merged, conv_merged)
+    assert open(conv_merged).read() == open(conv_single).read()
