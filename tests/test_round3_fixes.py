@@ -357,3 +357,25 @@ def test_stats_json_output(tmp_path, rng):
         assert key in d
     assert d["cal_gcups"] is None or d["cal_gcups"] > 0
     assert d["total_time"] > 0
+
+
+@pytest.mark.parametrize("extra, msg", [
+    (["--host", "banana"], "expects I:N"),
+    (["--host", "3:2"], "0 <= I < N"),
+    (["--host", "0:2", "-t", "cpu+cpu"], "mutually exclusive"),
+    (["-t", "cpu+cpu", "--shards", "2"], "mutually exclusive"),
+    (["-n", "2"], "-n needs a single-platform -t"),
+    (["-t", "cpu+cpu", "-n", "2"], "-n needs a single-platform -t"),
+    (["-t", "cpu", "-n", "0"], "-n must be >= 1"),
+    (["-D"], "-D requires"),
+    (["--profile-python"], "--profile-python needs"),
+    (["-R", "whatever.txt"], "-R requires"),
+])
+def test_cli_flag_validation_errors(tmp_path, rng, capsys, extra, msg):
+    """Every invalid flag combination fails loudly before any compute (the
+    reference silently ignores flags its port doesn't implement)."""
+    qp, sp = _write_inputs(tmp_path, rng, S=130)
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "r.bin"),
+                   "--quiet", "--backend", "xla", *extra])
+    assert rc == 1
+    assert msg in capsys.readouterr().err
