@@ -138,3 +138,19 @@ def test_shards_beyond_local_devices_rejected():
                       pl_mod.PipelineConfig(backend="xla", local_shards=n))
     with pytest.raises(ValueError, match="exceeds"):
         BandedEngine(4, pl_mod.PipelineConfig(backend="xla", local_shards=n))
+
+
+@needs8
+def test_shards_zero_uses_all_local_devices(rng):
+    """local_shards=0 (CLI --shards 0) builds the mesh over every local
+    device and scores byte-identically to single-device."""
+    Q, m, S, n = 2, 18, 1024, 25
+    q = rng.integers(0, 4, size=(Q, m)).astype(np.int32)
+    s = rng.integers(0, 4, size=(S, n)).astype(np.uint8)
+    scheme = normalize(Scoring(0, -1, -1), Mode.GLOBAL)
+    all_dev = pl_mod.Engine(scheme, pl_mod.PipelineConfig(backend="xla", local_shards=0))
+    assert all_dev.n_shards == len(jax.devices())
+    single = pl_mod.Engine(scheme, pl_mod.PipelineConfig(backend="xla"))
+    np.testing.assert_array_equal(
+        np.asarray(all_dev.scores(q, s)), np.asarray(single.scores(q, s))
+    )

@@ -379,3 +379,62 @@ def test_cli_flag_validation_errors(tmp_path, rng, capsys, extra, msg):
                    "--quiet", "--backend", "xla", *extra])
     assert rc == 1
     assert msg in capsys.readouterr().err
+
+
+def test_cli_convert_fasta_fastq_and_missing_inputs(tmp_path, rng, capsys):
+    """bgsa-convert -f/-q through the CLI (not just the fastx functions),
+    plus align's missing-input and runtime-error reporting."""
+    lut = "ACGT"
+    seqs = ["".join(lut[c] for c in row) for row in rng.integers(0, 4, size=(3, 12))]
+    fa, fq = tmp_path / "in.fa", tmp_path / "in.fq"
+    fa.write_text("".join(f">s{i} x\n{s}\n" for i, s in enumerate(seqs)))
+    fq.write_text("".join(f"@r{i}\n{s}\n+\n{'@' * 12}\n" for i, s in enumerate(seqs)))
+    want = "".join(s + "\n" for s in seqs)
+    out = tmp_path / "o.txt"
+    assert cli.main(["convert", "-f", str(fa), "-o", str(out)]) == 0
+    assert out.read_text() == want
+    assert cli.main(["convert", "-q", str(fq), "-o", str(out)]) == 0
+    assert out.read_text() == want
+
+    # align: nonexistent input is an argparse-style error
+    with pytest.raises(SystemExit):
+        cli.main(["align", "-q", str(tmp_path / "ghost.txt"), "-d", str(fa),
+                  "-f", str(tmp_path / "r.bin"), "--quiet"])
+    assert "ghost.txt" in capsys.readouterr().err
+
+    # align: a runtime input error (ragged database) reports rc=1 + message
+    ragged = tmp_path / "ragged.txt"
+    ragged.write_bytes(b"ACGT\nACGTT\nAC\n")  # size lines up; caught mid-read
+    qp, _ = _write_inputs(tmp_path, rng, S=130)
+    rc = cli.main(["align", "-q", qp, "-d", str(ragged),
+                   "-f", str(tmp_path / "r.bin"), "--quiet", "--backend", "xla"])
+    assert rc == 1
+    assert "ragged line" in capsys.readouterr().err
+
+
+def test_benchutil_chain_and_dataset():
+    """The shared bench builders: chain_of must preserve the kernel's result
+    through the value-preserving dependency chain, and filter_mix_dataset
+    must plant the advertised near-duplicate fraction."""
+    import jax.numpy as jnp
+
+    from bgsa_tpu import benchutil
+
+    q = np.arange(12, dtype=np.int32).reshape(3, 4)
+
+    def run_q(x):
+        return x * jnp.int32(2)
+
+    sampler = benchutil.chain_of(run_q, q, n_chain=5)
+    # |out| < 2^30 -> the dependency term is 0 on every link; the chain's
+    # final value equals one plain invocation's corners
+    assert sampler() == 2 * q[0, 0] + 2 * q[-1, -1]
+
+    rng = np.random.default_rng(0)
+    qb, sb = benchutil.filter_mix_dataset(rng, 4, 400, 60, near_frac=0.25)
+    assert qb.shape == (4, 60) and sb.shape == (400, 60)
+    near = sum(
+        min(int((sb != qrow).sum(1).min()) for qrow in qb) <= 5
+        for sb in (sb[i][None] for i in range(400))
+    )
+    assert near >= 100  # every planted read is within 5 edits of some query
