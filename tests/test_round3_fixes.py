@@ -438,3 +438,18 @@ def test_benchutil_chain_and_dataset():
         for sb in (sb[i][None] for i in range(400))
     )
     assert near >= 100  # every planted read is within 5 edits of some query
+
+
+def test_scheme_validation_errors():
+    from bgsa_tpu.schemes import Algorithm, Mode, Scoring, normalize
+
+    with pytest.raises(ValueError, match="unit weights"):
+        normalize(Scoring(2, -3, -5), Mode.GLOBAL, Algorithm.BANDED)
+    with pytest.raises(ValueError, match="unit weights"):
+        normalize(Scoring(2, -3, -5), Mode.GLOBAL, Algorithm.MYERS)
+    with pytest.raises(ValueError, match="match >= 0"):
+        normalize(Scoring(-1, -3, -5))
+    with pytest.raises(ValueError, match="gap < 0"):
+        normalize(Scoring(2, -3, 1))
+    with pytest.raises(ValueError, match="mismatch < match"):
+        normalize(Scoring(2, 3, -5))
