@@ -113,6 +113,15 @@ def run_ours(tmp, qp, sp, extra=(), banded=False, hosts=0):
     return conv
 
 
+# BGSA_CAMPAIGN_LONG=1: stretch sequence lengths ~4x (the reference chart's
+# 120-960bp x-axis — multi-word Eq chains, carry propagation across 8-31
+# words) with smaller subject counts so runtime stays comparable.
+LONG = bool(os.environ.get("BGSA_CAMPAIGN_LONG"))
+
+
+SCALE = 4 if LONG else 1
+
+
 def one_case(seed):
     rng = np.random.default_rng(seed)
     kind = seed % 7
@@ -120,9 +129,9 @@ def one_case(seed):
         qp, sp = os.path.join(tmp, "q.txt"), os.path.join(tmp, "s.txt")
         if kind == 4:  # semi-global Myers vs the generator's own emission
             Q = int(rng.integers(1, 5))
-            S = int(rng.integers(1, 700))
-            m = int(rng.integers(1, 250))
-            n = int(rng.integers(1, 250))
+            S = int(rng.integers(1, 700 // SCALE))
+            m = int(rng.integers(1, 250 * SCALE))
+            n = int(rng.integers(1, 250 * SCALE))
             write_seq(qp, rng.integers(0, 4, size=(Q, m)))
             write_seq(sp, rng.integers(0, 4, size=(S, n)))
             a = run_ref(SEMI, tmp, qp, sp)
@@ -130,9 +139,9 @@ def one_case(seed):
             tag = f"semiglobal {m}x{n}"
         elif kind == 5:  # (0,1,1) — the generator's factor=+1 normalization
             Q = int(rng.integers(1, 5))
-            S = int(rng.integers(1, 700))
-            m = int(rng.integers(1, 250))
-            n = int(rng.integers(1, 250))
+            S = int(rng.integers(1, 700 // SCALE))
+            m = int(rng.integers(1, 250 * SCALE))
+            n = int(rng.integers(1, 250 * SCALE))
             write_seq(qp, rng.integers(0, 4, size=(Q, m)))
             write_seq(sp, rng.integers(0, 4, size=(S, n)))
             a = run_ref(POS, tmp, qp, sp)
@@ -140,9 +149,9 @@ def one_case(seed):
             tag = f"positive-factor {m}x{n}"
         elif kind == 6:  # semi-global BitPAl, packed / non-packed alternating
             Q = int(rng.integers(1, 4))
-            S = int(rng.integers(1, 500))
-            m = int(rng.integers(8, 150))
-            n = int(rng.integers(8, 150))
+            S = int(rng.integers(8 if LONG else 1, 500 // SCALE))
+            m = int(rng.integers(8, 150 * SCALE))
+            n = int(rng.integers(8, 150 * SCALE))
             write_seq(qp, rng.integers(0, 4, size=(Q, m)))
             write_seq(sp, rng.integers(0, 4, size=(S, n)))
             extra = ["-M", "2", "-I", "-3", "-G", "-5", "--semi-global"]
@@ -158,7 +167,7 @@ def one_case(seed):
             # against banded_ref/oracle in the suite instead)
             k = int(rng.integers(1, 14))
             while True:
-                m = int(rng.integers(64 + k, 250))
+                m = int(rng.integers(64 + k, 250 * SCALE))
                 cap = 64 * ((m - k + 63) // 64)
                 if cap >= m:
                     break
@@ -178,9 +187,9 @@ def one_case(seed):
             tag = f"banded k={k} {m}x{n}{' 2-role merge' if hosts else ''}"
         elif kind == 2:  # BitPAl (2,-3,-5) vs AVX2, alternating carry / shards
             Q = int(rng.integers(1, 4))
-            S = int(rng.integers(1, 500))
-            m = int(rng.integers(8, 100))
-            n = int(rng.integers(8, 100))
+            S = int(rng.integers(16 if LONG else 1, 500 // SCALE))
+            m = int(rng.integers(8, 100 * SCALE))
+            n = int(rng.integers(8, 100 * SCALE))
             write_seq(qp, rng.integers(0, 4, size=(Q, m)))
             write_seq(sp, rng.integers(0, 4, size=(S, n)))
             extra = ["-M", "2", "-I", "-3", "-G", "-5"]
@@ -198,9 +207,9 @@ def one_case(seed):
             tag = f"bitpal {m}x{n} {' '.join(extra[6:]) or 'default'} vs {os.path.basename(build)}"
         else:  # Myers global, alternating shards / -N threads
             Q = int(rng.integers(1, 4))
-            S = int(rng.integers(1, 800))
-            m = int(rng.integers(1, 170))
-            n = int(rng.integers(1, 170))
+            S = int(rng.integers(1, 800 // SCALE))
+            m = int(rng.integers(1, 170 * SCALE))
+            n = int(rng.integers(1, 170 * SCALE))
             q = rng.integers(0, 4, size=(Q, m))
             s = rng.integers(0, 4, size=(S, n))
             write_seq(qp, q)
