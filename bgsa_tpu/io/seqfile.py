@@ -30,17 +30,33 @@ REF_BUCKET_COUNT = 100  # queries per compute tile, reference config.h
 
 
 def detect_line_length(path: str) -> int:
-    """Length of the first line (bytes before the first newline)."""
+    """Length of the first line (bytes before the first newline).
+
+    Refuses CRLF line endings: the '\\r' would otherwise sit inside every
+    sequence and score silently as code 0 ('A') — the reference has the
+    same corruption (its mapping table reads '\\r' as 'A'); we error
+    instead, like the FASTA/FASTQ converters strip it.
+    """
     length = 0
+    last = b""
     with open(path, "rb") as f:
         while True:
             chunk = f.read(1 << 20)
             if not chunk:
-                return length
+                break
             pos = chunk.find(b"\n")
             if pos >= 0:
-                return length + pos
+                length += pos
+                last = chunk[pos - 1 : pos] if pos else last
+                break
             length += len(chunk)
+            last = chunk[-1:]
+    if last == b"\r":
+        raise ValueError(
+            f"{path}: CRLF line endings (sequences would silently score the "
+            "'\\r' as 'A'); convert to LF line endings first"
+        )
+    return length
 
 
 @dataclasses.dataclass

@@ -234,3 +234,15 @@ def test_ratio_file_error_branches(tmp_path):
     bad.write_text("1.0 0.0\n")
     with pytest.raises(ValueError, match="zero or negative"):
         read_ratio_file(str(bad), 2)
+
+
+def test_crlf_plain_format_rejected(tmp_path):
+    """CRLF plain-format files error loudly — the '\r' would otherwise sit
+    inside every sequence and score silently as 'A' (the reference's mapping
+    table does exactly that)."""
+    crlf = tmp_path / "crlf.txt"
+    crlf.write_bytes(b"ACGT\r\nGGTA\r\n")
+    with pytest.raises(ValueError, match="CRLF"):
+        seqfile.DatabaseReader(str(crlf))
+    with pytest.raises(ValueError, match="CRLF"):
+        seqfile.read_queries(str(crlf))
