@@ -67,6 +67,11 @@ class ShardMeta:
     # *old*-geometry buckets — shard_resume_point refuses on mismatch.
     seqs_per_bucket: int = 0
     db_subjects: int = 0
+    # Normalized split weights of the static -R run (None = legacy sidecar
+    # or dynamic mode): a resume under different ratios would compute a
+    # different slice of every remaining bucket than the peers did, and the
+    # merge would interleave overlapping/gapped slices silently.
+    ratios: list | None = None
 
     def save(self, path: str) -> None:
         import json
@@ -88,10 +93,19 @@ class ShardMeta:
                 raise ValueError(f"{path}: malformed shard sidecar ({e})") from e
 
 
+def normalized_ratios(ratios, n_hosts: int) -> list[float]:
+    """Ratio vector reduced to comparable form (None = even split)."""
+    if ratios is None:
+        ratios = [1.0] * n_hosts
+    total = float(sum(ratios))
+    return [float(r) / total for r in ratios]
+
+
 def shard_resume_point(result_path: str, meta_path: str, ref_count: int,
                        write_dtype, n_hosts: int, host_id: int,
                        seqs_per_bucket: int = 0,
-                       db_subjects: int = 0) -> tuple[int, "ShardMeta | None"]:
+                       db_subjects: int = 0,
+                       ratios=None) -> tuple[int, "ShardMeta | None"]:
     """Completed-bucket count for a raw shard file (the --host role's
     crash recovery). The incrementally-saved ShardMeta sidecar records the
     per-bucket split actually used (which may vary under dynamic balancing);
@@ -114,6 +128,7 @@ def shard_resume_point(result_path: str, meta_path: str, ref_count: int,
         )
     meta = ShardMeta.load(meta_path)
     dtype = np.dtype(write_dtype)
+    want_ratios = normalized_ratios(ratios, n_hosts)
     for field, want, got in (
         ("host", host_id, meta.host_id),
         ("host count", n_hosts, meta.n_hosts),
@@ -123,6 +138,10 @@ def shard_resume_point(result_path: str, meta_path: str, ref_count: int,
          seqs_per_bucket, meta.seqs_per_bucket or seqs_per_bucket),
         ("database subject count",
          db_subjects, meta.db_subjects or db_subjects),
+        # a resume under different -R ratios would slice every remaining
+        # bucket differently than the peers — silently corrupt after merge
+        ("split ratios (-R)",
+         want_ratios, meta.ratios if meta.ratios is not None else want_ratios),
     ):
         if want != got:
             raise ValueError(

@@ -479,12 +479,19 @@ def run_bucketed(
         from .parallel.multihost import ShardMeta, host_slice, shard_resume_point
 
         host_id, n_hosts = shard
+        from .parallel.multihost import normalized_ratios
+
+        # Static -R splits are resume-critical (a different ratio vector
+        # re-slices every remaining bucket); dynamic mode's schedule is
+        # protected by the run token instead, so its sidecar records None.
+        static_ratios = None if dynamic else normalized_ratios(shard_ratios, n_hosts)
         if resume:
             done_buckets, meta = shard_resume_point(
                 result_path, meta_path, len(queries),
                 np.dtype(write_dtype), n_hosts, host_id,
                 seqs_per_bucket=db.seqs_per_bucket,
                 db_subjects=db.total_count,
+                ratios=None if dynamic else shard_ratios,
             )
             if meta is not None:
                 stats.subject_count += sum(
@@ -496,6 +503,7 @@ def run_bucketed(
                 dtype=np.dtype(write_dtype).name,
                 seqs_per_bucket=db.seqs_per_bucket,
                 db_subjects=db.total_count,
+                ratios=static_ratios,
             )
         writer_fp = open(result_path, "ab" if done_buckets else "wb")
         if dynamic:

@@ -426,3 +426,29 @@ def test_zero_count_middle_host_slice(tmp_path, rng):
     conv_merged = str(tmp_path / "merged.txt")
     result_io.convert_result(merged, conv_merged)
     assert open(conv_merged).read() == open(conv_single).read()
+
+
+def test_resume_refuses_changed_ratios(tmp_path, rng):
+    """Resuming a static --host role under different -R ratios would slice
+    every remaining bucket differently than the peers computed — the shard
+    sidecar records the normalized split and the resume refuses."""
+    Q, m, S, n = 2, 16, 900, 20
+    seqfile.write_seq_file(str(tmp_path / "q.txt"), rng.integers(0, 4, size=(Q, m)))
+    seqfile.write_seq_file(str(tmp_path / "s.txt"), rng.integers(0, 4, size=(S, n)))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=256 * (n + 1))
+    p = str(tmp_path / "sh0.bin")
+    pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(0, 2),
+                         shard_ratios=[1.0, 2.0])[1].save(p + ".meta.json")
+
+    with pytest.raises(ValueError, match="split ratios"):
+        pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(0, 2),
+                             resume=True)  # ratios forgotten -> even split
+    with pytest.raises(ValueError, match="split ratios"):
+        pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(0, 2),
+                             shard_ratios=[2.0, 1.0], resume=True)
+
+    # same ratios (any scaling) resume fine
+    _, meta = pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(0, 2),
+                                   shard_ratios=[10.0, 20.0], resume=True)
+    assert meta.ratios == [1.0 / 3.0, 2.0 / 3.0]
