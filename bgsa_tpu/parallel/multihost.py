@@ -211,6 +211,14 @@ def merge_shards(result_path: str, shard_paths: list[str], metas: list[ShardMeta
             ("query count", ref_count, m.ref_count),
             ("bucket count", block_num, len(m.block_counts)),
             ("dtype", metas[0].dtype, m.dtype),
+            # run-geometry identity (0/None = legacy sidecar, skip): shards
+            # of two different databases or bucket sizes can otherwise agree
+            # on every count above and interleave silently wrong
+            ("database subject count", metas[0].db_subjects or m.db_subjects,
+             m.db_subjects or metas[0].db_subjects),
+            ("bucket size (subjects)",
+             metas[0].seqs_per_bucket or m.seqs_per_bucket,
+             m.seqs_per_bucket or metas[0].seqs_per_bucket),
         ):
             if want != got:
                 raise ValueError(

@@ -452,3 +452,22 @@ def test_resume_refuses_changed_ratios(tmp_path, rng):
     _, meta = pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(0, 2),
                                    shard_ratios=[10.0, 20.0], resume=True)
     assert meta.ratios == [1.0 / 3.0, 2.0 / 3.0]
+
+
+def test_merge_refuses_mixed_databases(tmp_path, rng):
+    """Shards of two different databases can agree on every per-shard count;
+    the sidecar's run geometry (db subject count) must catch the mix."""
+    Q, m, n = 2, 16, 20
+    qp = str(tmp_path / "q.txt")
+    seqfile.write_seq_file(qp, rng.integers(0, 4, size=(Q, m)))
+    cfg = pl_mod.PipelineConfig(backend="xla")
+    paths, metas = [], []
+    for h, S in ((0, 500), (1, 600)):  # different databases
+        sp = str(tmp_path / f"s{h}.txt")
+        seqfile.write_seq_file(sp, rng.integers(0, 4, size=(S, n)))
+        p = str(tmp_path / f"sh{h}.bin")
+        _, meta = pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(h, 2))
+        paths.append(p)
+        metas.append(meta)
+    with pytest.raises(ValueError, match="database subject count"):
+        multihost.merge_shards(str(tmp_path / "m.bin"), paths, metas)
