@@ -175,3 +175,26 @@ def test_hetero_worker_error_propagates(tmp_path, rng):
     engines[1].scores_packed = broken
     with pytest.raises(Boom, match="device fell over"):
         run_hetero(engines, qp, sp, str(tmp_path / "r.bin"), cfg)
+
+
+def test_hetero_zero_count_middle_device(tmp_path, rng):
+    """Extreme ratios can floor a middle device's slice to zero subjects;
+    the multi-device result/.info layout must still convert identically to
+    a single-device run (the reference's convert handles 0-count devices)."""
+    qp, sp, n = _dataset(tmp_path, rng, S=700)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=512 * (n + 1))
+
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(qp, sp, single, config=cfg)
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single)
+
+    scheme = normalize(Scoring(0, -1, -1), Mode.GLOBAL)
+    engines = [pl_mod.Engine(scheme, cfg) for _ in range(3)]
+    multi = str(tmp_path / "multi.bin")
+    _, times = run_hetero(engines, qp, sp, multi, cfg, ratios=[1e9, 1.0, 1e9])
+    info = result_io.read_info(multi + ".info")
+    assert any(c == 0 for counts in info.device_read_counts for c in counts)
+    conv_multi = str(tmp_path / "multi.txt")
+    result_io.convert_result(multi, conv_multi)
+    assert open(conv_multi).read() == open(conv_single).read()
