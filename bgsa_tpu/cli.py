@@ -53,7 +53,7 @@ def align_main(argv=None) -> int:
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--shards", type=int, default=1,
                    help="local device shards (0 = all local devices)")
-    p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=True,
+    p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=None,
                    help="packed bit-plane BitPAl representation (same scores; default on)")
     p.add_argument("--carry", action="store_true",
                    help="full-32-bit-word packed BitPAl with compare-carry "
@@ -152,6 +152,20 @@ def align_main(argv=None) -> int:
     args.query = _as_line_format(args.query)
     args.database = _as_line_format(args.database)
 
+    packed_explicit = args.packed is not None
+    args.packed = True if args.packed is None else args.packed
+    if packed_explicit and (
+        args.threshold is not None
+        or Scoring(args.match, args.mismatch, args.gap).is_unit
+    ):
+        # Loud rejection beats a silent no-op: the packed/non-packed choice
+        # only exists on the BitPAl path; Myers/banded runs would otherwise
+        # accept and ignore the flag.
+        print("error: --packed/--no-packed applies to BitPAl scoring "
+              "schemes; this run selects a Myers/banded kernel (unit-cost "
+              "or -k), which has no packed/non-packed representation choice",
+              file=sys.stderr)
+        return 1
     if args.carry:
         # Loud rejection beats a silent no-op (the carry layout only exists
         # on the packed BitPAl path; unit-cost schemes run Myers kernels,

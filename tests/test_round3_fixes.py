@@ -453,3 +453,16 @@ def test_scheme_validation_errors():
         normalize(Scoring(2, -3, 1))
     with pytest.raises(ValueError, match="mismatch < match"):
         normalize(Scoring(2, 3, -5))
+
+
+def test_cli_rejects_packed_flag_outside_bitpal(tmp_path, rng, capsys):
+    qp, sp = _write_inputs(tmp_path, rng, S=130)
+    base = ["align", "-q", qp, "-d", sp, "-f", str(tmp_path / "r.bin"),
+            "--quiet", "--backend", "xla"]
+    for extra in (["--no-packed"], ["--packed"], ["-k", "4", "--no-packed"]):
+        rc = cli.main(base + extra)
+        assert rc == 1
+        assert "applies to BitPAl" in capsys.readouterr().err
+    # still fine where it belongs
+    assert cli.main(base + ["-M", "2", "-I", "-3", "-G", "-5",
+                            "--no-packed"]) == 0
