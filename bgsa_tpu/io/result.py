@@ -117,6 +117,16 @@ def resume_point(result_path: str, ref_count: int, device_num: int = 1,
             return 0
     itemsize = np.dtype(write_dtype).itemsize
     result_size = os.path.getsize(result_path)
+    # A result file larger than the whole run can produce is not a partial
+    # run of THIS geometry/dtype — e.g. a completed int16 full-alignment
+    # file being resumed as an int8 banded run would otherwise count every
+    # bucket done, truncate to half the bytes, and convert to garbage.
+    total_need = sum(
+        sum(counts) * ref_count * itemsize
+        for counts in info.device_read_counts
+    )
+    if result_size > total_need:
+        return 0
     done = 0
     offset = 0
     for counts in info.device_read_counts:

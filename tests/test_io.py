@@ -246,3 +246,27 @@ def test_crlf_plain_format_rejected(tmp_path):
         seqfile.DatabaseReader(str(crlf))
     with pytest.raises(ValueError, match="CRLF"):
         seqfile.read_queries(str(crlf))
+
+
+def test_resume_rejects_wrong_dtype_result(tmp_path, rng):
+    """Resuming a completed int16 full-alignment file as an int8 banded run
+    must start fresh (before the size guard it counted every bucket done in
+    int8 units, truncated half the bytes, and converted to garbage)."""
+    from bgsa_tpu.banded_pipeline import run_banded
+    from bgsa_tpu.pipeline import PipelineConfig, run_alignment
+
+    q = rng.integers(0, 4, size=(2, 20))
+    s = rng.integers(0, 4, size=(300, 20))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    cfg = PipelineConfig(backend="xla", bucket_size=128 * 21)
+
+    res = str(tmp_path / "r.bin")
+    run_alignment(qp, sp, res, config=cfg)  # int16 full run, completed
+
+    # resume as banded over the same file: fresh start, correct output
+    run_banded(qp, sp, res, 5, cfg, resume=True)
+    clean = str(tmp_path / "clean.bin")
+    run_banded(qp, sp, clean, 5, cfg)
+    assert open(res, "rb").read() == open(clean, "rb").read()
