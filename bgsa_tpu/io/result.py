@@ -89,7 +89,14 @@ def resume_point(result_path: str, ref_count: int, device_num: int = 1,
     completed buckets in the *old* geometry's byte sizes, then skip that
     many *new*-geometry buckets and append a mismatched layout under the
     stale header — silently corrupt. Any geometry disagreement returns 0
-    (fresh start; the writer overwrites both files).
+    (fresh start; the writer overwrites both files), as does a result file
+    larger than this run can produce (a completed int16 file resumed as
+    int8 banded). Known limit: the opposite mix-up — a *smaller*-dtype
+    complete file resumed at a larger dtype — is byte-indistinguishable
+    from a legitimate half-done run of the larger dtype (the plain-mode
+    pair records no dtype, by reference byte-compat), so don't reuse one
+    result path across kernel families with --resume; the shard mode's
+    sidecar records the dtype and refuses.
     """
     import os
 
