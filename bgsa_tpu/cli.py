@@ -233,6 +233,19 @@ def align_main(argv=None) -> int:
             print(f"error: --host {args.host}: need 0 <= I < N", file=sys.stderr)
             return 1
         shard = (host_id, n_hosts)
+    if args.devices:
+        # Accept the reference's own -t spellings (original/BGSA_KNC/
+        # main.c:73-83): MIC = the accelerator alone (a plain run here, on
+        # the default device), MICSSE = accelerator + host CPU co-compute,
+        # SIMPLE/SSE = CPU-only. Mapped to jax platform specs.
+        ref_alias = {"simple": "cpu", "sse": "cpu", "mic": "tpu",
+                     "micsse": "tpu+cpu"}
+        key = args.devices.strip().lower()
+        if key in ref_alias:
+            mapped = ref_alias[key]
+            if not args.quiet:
+                print(f"note: -t {args.devices} (reference spelling) -> -t {mapped}")
+            args.devices = mapped
     if args.devices and shard is not None:
         print("error: -t and --host are mutually exclusive (in-process devices "
               "vs multi-host roles)", file=sys.stderr)

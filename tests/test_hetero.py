@@ -198,3 +198,32 @@ def test_hetero_zero_count_middle_device(tmp_path, rng):
     conv_multi = str(tmp_path / "multi.txt")
     result_io.convert_result(multi, conv_multi)
     assert open(conv_multi).read() == open(conv_single).read()
+
+
+def test_cli_reference_type_aliases(tmp_path, rng, capsys):
+    """The reference's -t SIMPLE/SSE/MIC/MICSSE spellings map to platform
+    specs (original/BGSA_KNC/main.c:73-83) — SIMPLE/SSE run CPU-only."""
+    from bgsa_tpu import cli
+
+    q = rng.integers(0, 4, size=(2, 20))
+    s = rng.integers(0, 4, size=(400, 24))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    het = str(tmp_path / "het.bin")
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", het,
+                   "-t", "SIMPLE", "--backend", "xla"])
+    assert rc == 0
+    assert "-t cpu" in capsys.readouterr().out
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(qp, sp, single, config=pl_mod.PipelineConfig(backend="xla"))
+    a, b = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
+    result_io.convert_result(single, a)
+    result_io.convert_result(het, b)
+    assert open(a).read() == open(b).read()
+
+    # MIC / MICSSE need a tpu platform; on this CPU test box they must fail
+    # with the platform error, not be silently reinterpreted
+    rc = cli.main(["align", "-q", qp, "-d", sp, "-f", het,
+                   "-t", "MICSSE", "--backend", "xla", "--quiet"])
+    assert rc == 1
