@@ -128,11 +128,24 @@ def resume_point(result_path: str, ref_count: int, device_num: int = 1,
     # run of THIS geometry/dtype — e.g. a completed int16 full-alignment
     # file being resumed as an int8 banded run would otherwise count every
     # bucket done, truncate to half the bytes, and convert to garbage.
-    total_need = sum(
-        sum(counts) * ref_count * itemsize
-        for counts in info.device_read_counts
-    )
-    if result_size > total_need:
+    # Size the whole run from the resuming run's own geometry when we have
+    # it: after a SIGKILL the manifest is a complete-record *prefix* (scores
+    # run ahead of it), so summing its records would under-count and flag a
+    # legitimately-ahead result file as oversized, discarding every finished
+    # bucket. Without expected_buckets the guard only applies when the
+    # manifest is complete.
+    if expected_buckets is not None:
+        total_need = sum(
+            count * ref_count * itemsize for count, _ in expected_buckets
+        )
+    elif len(info.device_read_counts) == info.block_num:
+        total_need = sum(
+            sum(counts) * ref_count * itemsize
+            for counts in info.device_read_counts
+        )
+    else:
+        total_need = None
+    if total_need is not None and result_size > total_need:
         return 0
     done = 0
     offset = 0
