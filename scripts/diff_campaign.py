@@ -207,6 +207,11 @@ def one_case(seed):
             tag = f"bitpal {m}x{n} {' '.join(extra[6:]) or 'default'} vs {os.path.basename(build)}"
         else:  # Myers global, alternating shards / -N threads
             Q = int(rng.integers(1, 4))
+            if (seed // 14) % 5 == 0:
+                # Cross the reference's compiled-in REF_BUCKET_COUNT=100:
+                # >100 queries block the result per (subject bucket, query
+                # bucket) — a layout axis the small-Q draws never touch.
+                Q = int(rng.integers(101, 140))
             S = int(rng.integers(1, 800 // SCALE))
             m = int(rng.integers(1, 170 * SCALE))
             n = int(rng.integers(1, 170 * SCALE))

@@ -151,6 +151,36 @@ def test_converters_cross_read_each_others_files(tmp_path):
 
 
 @pytest.mark.skipif(not _have(ORIG), reason="reference binaries not built")
+def test_diff_query_bucket_boundary_vs_reference(tmp_path):
+    """130 queries cross the reference's compiled-in REF_BUCKET_COUNT=100
+    (original/BGSA_CPU/config.h): the result file blocks per (subject bucket,
+    query bucket), so the 100/30 split must land byte-identically — every
+    other differential draws Q <= 5 and would never catch a query-bucket
+    blocking divergence. S=384 is a lane multiple, so raw result/.info
+    bytes match too, and the reference's own convert must read our pair."""
+    rng = np.random.default_rng(424242)
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    _write(qp, rng, 130, 40)
+    _write(sp, rng, 384, 50)
+    ref = _run_ref(ORIG, tmp_path, qp, sp)
+    ours = _run_ours(tmp_path, qp, sp)
+    _compare(ref, ours, bytes_exact=True)
+    ref_on_ours = str(tmp_path / "ref_on_ours.txt")
+    subprocess.run([f"{ORIG}/convert", "-r", ours[0], "-o", ref_on_ours],
+                   check=True, capture_output=True, cwd=str(tmp_path))
+    assert open(ref_on_ours).read() == open(ref[1]).read()
+    # Multi-DB-bucket x multi-query-bucket double loop: a small --bucket-size
+    # re-blocks the result file (converted text is layout-independent, and
+    # the reference's 115 MB READ_BUCKET_SIZE can't be re-compiled down).
+    res2 = str(tmp_path / "our2.bin")
+    conv2 = str(tmp_path / "our2.txt")
+    assert cli.main(["align", "-q", qp, "-d", sp, "-f", res2, "--quiet",
+                     "--backend", "xla", "--bucket-size", "6528"]) == 0
+    assert cli.main(["convert", "-r", res2, "-o", conv2]) == 0
+    assert open(conv2).read() == open(ref[1]).read()
+
+
+@pytest.mark.skipif(not _have(ORIG), reason="reference binaries not built")
 def test_diff_length_one_sequences(tmp_path):
     """Degenerate geometry: 1 bp queries and subjects, every family/mode
     that has a compiled target — byte-identical converted output."""
