@@ -57,6 +57,19 @@ class ResultWriter:
         if not append:
             self.info_fp.write(struct.pack("<iiq", block_num, device_num, ref_count))
             self.info_fp.flush()
+            # The reference's result/.info pair records no score dtype — an
+            # int8 banded file is byte-indistinguishable from a half-done
+            # int16 run of double the subjects. This additive sidecar (the
+            # reference's tools ignore extra files) lets resume_point refuse
+            # to graft a different kernel family's bytes; absent sidecar
+            # (reference-written or pre-existing pairs) keeps the documented
+            # fallback behavior.
+            import json
+
+            with open(result_path + ".run.json", "w") as f:
+                json.dump({"write_dtype": np.dtype(write_dtype).name,
+                           "ref_count": ref_count,
+                           "block_num": block_num}, f)
 
     def start_bucket(self, device_counts: list[int], extra_count: int) -> None:
         """Record one database bucket's manifest entry (cal_cpu.c:350-352)."""
@@ -91,18 +104,29 @@ def resume_point(result_path: str, ref_count: int, device_num: int = 1,
     stale header — silently corrupt. Any geometry disagreement returns 0
     (fresh start; the writer overwrites both files), as does a result file
     larger than this run can produce (a completed int16 file resumed as
-    int8 banded). Known limit: the opposite mix-up — a *smaller*-dtype
-    complete file resumed at a larger dtype — is byte-indistinguishable
-    from a legitimate half-done run of the larger dtype (the plain-mode
-    pair records no dtype, by reference byte-compat), so don't reuse one
-    result path across kernel families with --resume; the shard mode's
-    sidecar records the dtype and refuses.
+    int8 banded) or a ``.run.json`` sidecar recording a different dtype
+    (a completed int8 banded file resumed as int16 — byte-indistinguishable
+    from a half-done int16 run without the sidecar, which our writer drops
+    next to every fresh pair; the reference's pair records no dtype, so for
+    pairs without a sidecar that mix-up remains undetectable — don't reuse
+    one result path across kernel families with --resume).
     """
     import os
 
     info_path = result_path + ".info"
     if not (os.path.exists(info_path) and os.path.exists(result_path)):
         return 0
+    run_path = result_path + ".run.json"
+    if os.path.exists(run_path):
+        import json
+
+        try:
+            with open(run_path) as f:
+                run = json.load(f)
+        except (OSError, ValueError):
+            run = {}
+        if run.get("write_dtype", np.dtype(write_dtype).name) != np.dtype(write_dtype).name:
+            return 0
     try:
         # allow_partial: a SIGKILL mid-run leaves fewer manifest records
         # than the header's block_num — the complete-record prefix is still

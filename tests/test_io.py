@@ -270,3 +270,35 @@ def test_resume_rejects_wrong_dtype_result(tmp_path, rng):
     clean = str(tmp_path / "clean.bin")
     run_banded(qp, sp, clean, 5, cfg)
     assert open(res, "rb").read() == open(clean, "rb").read()
+
+
+def test_resume_rejects_smaller_dtype_result(tmp_path, rng):
+    """The opposite mix-up: a completed int8 banded file resumed as an int16
+    full run is byte-indistinguishable from a half-done int16 run by size
+    alone — the .run.json sidecar (recorded by every fresh ResultWriter)
+    carries the dtype, so resume starts fresh instead of truncating the
+    banded bytes mid-bucket and appending int16 scores after them."""
+    import os
+
+    from bgsa_tpu.banded_pipeline import run_banded
+    from bgsa_tpu.pipeline import PipelineConfig, run_alignment
+
+    q = rng.integers(0, 4, size=(2, 20))
+    s = rng.integers(0, 4, size=(512, 20))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    cfg = PipelineConfig(backend="xla", bucket_size=128 * 21)
+
+    res = str(tmp_path / "r.bin")
+    run_banded(qp, sp, res, 5, cfg)  # int8 banded run, completed
+    assert os.path.exists(res + ".run.json")
+
+    run_alignment(qp, sp, res, config=cfg, resume=True)
+    clean = str(tmp_path / "clean.bin")
+    run_alignment(qp, sp, clean, config=cfg)
+    assert open(res, "rb").read() == open(clean, "rb").read()
+    # the sidecar now records the new run's dtype
+    import json
+
+    assert json.load(open(res + ".run.json"))["write_dtype"] == "int16"
