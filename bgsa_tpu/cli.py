@@ -46,9 +46,9 @@ def align_main(argv=None) -> int:
     p.add_argument("-N", dest="threads", type=int, default=0,
                    help="host packing threads (reference -N; 0 = all cores)")
     p.add_argument("-k", dest="threshold", type=int, default=None, help="banded error threshold")
-    p.add_argument("-M", dest="match", type=int, default=0, help="match score")
-    p.add_argument("-I", dest="mismatch", type=int, default=-1, help="mismatch score")
-    p.add_argument("-G", dest="gap", type=int, default=-1, help="gap score")
+    p.add_argument("-M", dest="match", type=int, default=None, help="match score (default 0)")
+    p.add_argument("-I", dest="mismatch", type=int, default=None, help="mismatch score (default -1)")
+    p.add_argument("-G", dest="gap", type=int, default=None, help="gap score (default -1)")
     p.add_argument("--semi-global", action="store_true", help="semi-global mode")
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--shards", type=int, default=1,
@@ -152,6 +152,31 @@ def align_main(argv=None) -> int:
     args.query = _as_line_format(args.query)
     args.database = _as_line_format(args.database)
 
+    scoring_explicit = any(
+        v is not None for v in (args.match, args.mismatch, args.gap)
+    )
+    args.match = 0 if args.match is None else args.match
+    args.mismatch = -1 if args.mismatch is None else args.mismatch
+    args.gap = -1 if args.gap is None else args.gap
+    if args.threshold is not None:
+        # Banded is the unit-cost verification filter (the reference's banded
+        # ports are generated for (0,-1,-1) only and have no runtime scoring
+        # flags); accepting -M/-I/-G or --semi-global here would silently
+        # score something other than what the user asked for.
+        if scoring_explicit:
+            print("error: -M/-I/-G cannot combine with -k (the banded filter "
+                  "is unit-cost edit distance; drop the scoring flags, or "
+                  "drop -k for a general-scoring run)", file=sys.stderr)
+            return 1
+        if args.semi_global:
+            print("error: --semi-global cannot combine with -k (the banded "
+                  "filter's mode is fixed: errors are minimized over the "
+                  "final subject row, matching the reference's banded "
+                  "kernels)", file=sys.stderr)
+            return 1
+        if args.threshold < 0:
+            print("error: -k must be >= 0", file=sys.stderr)
+            return 1
     packed_explicit = args.packed is not None
     args.packed = True if args.packed is None else args.packed
     if packed_explicit and (

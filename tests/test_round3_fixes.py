@@ -370,6 +370,13 @@ def test_stats_json_output(tmp_path, rng):
     (["-D"], "-D requires"),
     (["--profile-python"], "--profile-python needs"),
     (["-R", "whatever.txt"], "-R requires"),
+    # banded is the unit-cost filter: scoring/mode flags would be silently
+    # ignored, and a negative threshold used to die with a misleading
+    # geometry message
+    (["-k", "5", "-M", "2", "-I", "-3", "-G", "-5"], "cannot combine with -k"),
+    (["-k", "5", "-M", "0"], "cannot combine with -k"),
+    (["-k", "5", "--semi-global"], "cannot combine with -k"),
+    (["-k", "-1"], "-k must be >= 0"),
 ])
 def test_cli_flag_validation_errors(tmp_path, rng, capsys, extra, msg):
     """Every invalid flag combination fails loudly before any compute (the
