@@ -245,7 +245,9 @@ def _band_update(t, state, eq_lo, eq_hi, *, k, max_err, chk):
     vnlo, vnhi = xslo & hplo, xshi & hphi
     vplo, vphi = ~(hplo | xslo) | hnlo, ~(hphi | xshi) | hnhi
 
-    scored = (t >= k).astype(jnp.int32)
+    # jnp.asarray: t (and so t >= k) is a Python scalar when called from the
+    # dual head's static remainder loop, a tracer everywhere else
+    scored = jnp.asarray(t >= k).astype(jnp.int32)
     err = err + scored * (jnp.int32(1) - (d0lo & one).astype(jnp.int32))
     dead = dead | (chk & (err > jnp.int32(max_err)).astype(jnp.int32))
     return vplo, vphi, vnlo, vnhi, err, dead
@@ -264,7 +266,9 @@ def _stream_column(t, state, c, load, *, k, m, band_down, max_err, chk):
     t > 2k in the dual-stream kernel (B plane only).
     """
     w = t // 32
-    b = (t % 32).astype(jnp.uint32)
+    # jnp.asarray: t is a tracer from the fori_loop bodies but a plain
+    # Python int from the dual head's static remainder loop
+    b = jnp.asarray(t % 32).astype(jnp.uint32)
     b0 = load(c, w)
     b1 = load(c, w + 1)
     # (x << (32 - b)) written as two static-bounded shifts so b == 0 yields 0.
@@ -293,7 +297,9 @@ def _stream2_column(t, state, c, load_a, load_b, *, k, m, band_down, max_err, ch
     columns t <= 2k — the kernel switches to _stream_column(B) after.
     """
     w = t // 32
-    b = (t % 32).astype(jnp.uint32)
+    # jnp.asarray: t is a tracer from the fori_loop bodies but a plain
+    # Python int from the dual head's static remainder loop
+    b = jnp.asarray(t % 32).astype(jnp.uint32)
 
     def funnel(p0, p1):
         return (p0 >> b) | ((p1 << (jnp.uint32(31) - b)) << 1)

@@ -287,14 +287,6 @@ def nibble_unpack_jax(nib, length: int):
     return out[:, :length].astype(jnp.int32)
 
 
-def encode_ascii_jax(ascii_bytes):
-    """Device-side ASCII -> code mapping."""
-    import jax.numpy as jnp
-
-    table = jnp.asarray(MAPPING)
-    return jnp.take(table, jnp.asarray(ascii_bytes, jnp.int32), axis=0)
-
-
 def pack_banded_jax(codes, threshold: int, query_len: int):
     """Device-side pack_banded (same outputs; see pack_banded for layout).
 

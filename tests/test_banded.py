@@ -124,6 +124,27 @@ class TestBandedStream:
     def test_tiny_threshold(self, rng):
         self._check(rng, 2, 150, 256, 150, 1)
 
+    def test_block_exit_off_matches_on(self, rng):
+        # The block_exit=False A/B control (docs/PERF.md "What bounds the
+        # kernels" #8) must be outcome-neutral: same scores with the
+        # whole-block while_loop replaced by a plain fori_loop. Mixed data
+        # so some lanes die early and some survive to the end.
+        from bgsa_tpu import pack
+        from bgsa_tpu.banded_ref import banded_scores
+        from bgsa_tpu.ops import banded as b
+
+        Q, m, S, n, k = 2, 100, 256, 110, 8
+        q = rng.integers(0, 4, size=(Q, m)).astype(np.int32)
+        s = rng.integers(0, 4, size=(S, n))
+        s[: S // 3, :m] = q[0]
+        stream = np.asarray(pack.pack_banded_stream_jax(s, k, m))
+        kw = dict(q_len=m, s_len=n, k=k, interpret=True)
+        on = np.asarray(b.banded_stream(stream, q, **kw))
+        off = np.asarray(b.banded_stream(stream, q, block_exit=False, **kw))
+        np.testing.assert_array_equal(on, off)
+        want = np.stack([banded_scores(qi, s, k) for qi in q])
+        np.testing.assert_array_equal(on, want)
+
 
 class TestBandedStreamDual:
     """banded_stream_dual (two funnel streams) covers s_len < q_len (h < k):
@@ -163,6 +184,14 @@ class TestBandedStreamDual:
 
     def test_unrolled(self, rng):
         self._check(rng, 2, 70, 256, 64, 8, unroll=4)
+
+    def test_unrolled_head_remainder(self, rng):
+        # q_len < start_batch*32 caps the dual head at q_len = 41, which is
+        # not a multiple of unroll=4 — the static remainder loop after the
+        # head fori_loop (banded.py's lone column2 tail) must run columns
+        # 40..40; no other geometry reaches it (a coverage sweep showed it
+        # unhit at every tuned unroll).
+        self._check(rng, 2, 41, 256, 30, 20, unroll=4)
 
     def test_matches_equal_length_stream(self, rng):
         # h == k boundary: both kernels accept it; outputs must agree

@@ -76,3 +76,30 @@ def test_pallas_matches_xla(rng):
 def test_invalid_scheme():
     with pytest.raises(ValueError, match="M > I > 2G"):
         bitpal.BitpalParams(1, -4, -2)
+
+
+@pytest.mark.parametrize("M,I,G", [(0, -1, -3), (1, 0, -2), (0, -1, -2)])
+def test_adjacent_match_mismatch_schemes(rng, M, I, G):
+    """M == I + 1 collapses the high-delta plane range (maxv == midv + 1),
+    taking the trace-time network's degenerate else-branches for dv_not_hi /
+    dh_lo_mask — a line-coverage sweep showed no other test ever built that
+    network shape, in either representation."""
+    from bgsa_tpu.ops import bitpal_packed
+
+    q = rng.integers(0, 4, size=(2, 45)).astype(np.int32)
+    s = rng.integers(0, 4, size=(256, 37))
+    eq = pack.pack_eq(s, 31)
+    want = oracle(q, s, M, I, G)
+    kw = dict(match=M, mismatch=I, gap=G, read_len=37)
+    np.testing.assert_array_equal(
+        np.asarray(bitpal.bitpal_xla(eq, q, **kw)), want)
+    np.testing.assert_array_equal(
+        np.asarray(bitpal.bitpal(eq, q, interpret=True, **kw)), want)
+    params = bitpal.BitpalParams(M, I, G)
+    assert bitpal_packed.packed_supported(params)
+    np.testing.assert_array_equal(
+        np.asarray(bitpal_packed.bitpal_packed_xla(eq, q, word_bits=31, **kw)),
+        want)
+    np.testing.assert_array_equal(
+        np.asarray(bitpal_packed.bitpal_packed(eq, q, interpret=True, **kw)),
+        want)
