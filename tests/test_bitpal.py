@@ -78,6 +78,28 @@ def test_invalid_scheme():
         bitpal.BitpalParams(1, -4, -2)
 
 
+def test_pallas_semiglobal_interpret(rng):
+    """The Pallas kernel's semi-global score epilogue — previously exercised
+    only by the on-chip parity sweep (the suite tested semi-global on the
+    XLA twin alone), so a CPU run couldn't catch a regression in it."""
+    from bgsa_tpu.oracle import align_scores_query_in_subject
+    from bgsa_tpu.ops import bitpal_packed
+
+    M, I, G = 2, -3, -5
+    q = rng.integers(0, 4, size=(2, 20)).astype(np.int32)
+    s = rng.integers(0, 4, size=(128, 45))
+    s[0, 10:30] = q[0]
+    want = np.stack(
+        [align_scores_query_in_subject(qi, s, Scoring(M, I, G)) for qi in q]
+    )
+    kw = dict(match=M, mismatch=I, gap=G, read_len=45, semi_global=True,
+              interpret=True)
+    eq = pack.pack_eq(s, 31)
+    np.testing.assert_array_equal(np.asarray(bitpal.bitpal(eq, q, **kw)), want)
+    np.testing.assert_array_equal(
+        np.asarray(bitpal_packed.bitpal_packed(eq, q, **kw)), want)
+
+
 @pytest.mark.parametrize("M,I,G", [(0, -1, -3), (1, 0, -2), (0, -1, -2)])
 def test_adjacent_match_mismatch_schemes(rng, M, I, G):
     """M == I + 1 collapses the high-delta plane range (maxv == midv + 1),
