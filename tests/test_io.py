@@ -302,3 +302,57 @@ def test_resume_rejects_smaller_dtype_result(tmp_path, rng):
     import json
 
     assert json.load(open(res + ".run.json"))["write_dtype"] == "int16"
+
+
+def test_resume_point_rejection_edges(tmp_path, rng):
+    """resume_point's fresh-start decisions, each exercised directly:
+    missing files, unreadable manifest, query-count mismatch, geometry
+    mismatch, corrupt .run.json (ignored), and the oversized-guard fallback
+    arms (complete manifest without expected geometry; partial manifest
+    skips the guard)."""
+    from bgsa_tpu.io import result as result_io
+
+    res = str(tmp_path / "r.bin")
+    # no files at all
+    assert result_io.resume_point(res, 2) == 0
+
+    # 2-bucket run: 256 + 128 rows, 2 queries, int16
+    w = result_io.ResultWriter(res, ref_count=2, block_num=2, device_num=1)
+    w.start_bucket([256], 0)
+    w.write_scores(np.zeros((2, 256), np.int16))
+    w.start_bucket([128], 0)
+    w.write_scores(np.zeros((2, 128), np.int16))
+    w.close()
+
+    # wrong query count
+    assert result_io.resume_point(res, 3) == 0
+    # wrong bucket geometry
+    assert result_io.resume_point(res, 2, expected_buckets=[(256, 0)]) == 0
+    assert result_io.resume_point(
+        res, 2, expected_buckets=[(300, 0), (84, 0)]) == 0
+    # corrupt .run.json is ignored (not trusted, not fatal)
+    with open(res + ".run.json", "w") as f:
+        f.write("{not json")
+    assert result_io.resume_point(
+        res, 2, expected_buckets=[(256, 0), (128, 0)]) == 2
+    # complete manifest + no expected geometry: oversized guard still fires
+    with open(res, "ab") as f:
+        f.write(b"\x00" * 4096)
+    assert result_io.resume_point(res, 2) == 0
+
+    # unreadable manifest
+    with open(res + ".info", "wb") as f:
+        f.write(b"\x01")
+    assert result_io.resume_point(res, 2) == 0
+
+
+def test_read_info_rejects_implausible_header(tmp_path):
+    from bgsa_tpu.io import result as result_io
+
+    p = str(tmp_path / "x.info")
+    with open(p, "wb") as f:
+        import struct
+
+        f.write(struct.pack("<iiq", -5, 1, 2))
+    with pytest.raises(ValueError, match="implausible header"):
+        result_io.read_info(p)

@@ -471,3 +471,27 @@ def test_merge_refuses_mixed_databases(tmp_path, rng):
         metas.append(meta)
     with pytest.raises(ValueError, match="database subject count"):
         multihost.merge_shards(str(tmp_path / "m.bin"), paths, metas)
+
+
+def test_shard_resume_fresh_and_missing_sidecar(tmp_path, rng):
+    """shard_resume_point edges: --resume on a role that never ran starts
+    fresh (0, None); a shard file without its sidecar refuses rather than
+    guessing the split."""
+    Q, m, S, n = 2, 16, 300, 20
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, rng.integers(0, 4, size=(Q, m)))
+    seqfile.write_seq_file(sp, rng.integers(0, 4, size=(S, n)))
+    cfg = pl_mod.PipelineConfig(backend="xla")
+    p = str(tmp_path / "sh0.bin")
+
+    # resume with no prior shard: plain fresh run
+    _, meta = pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(0, 2),
+                                   resume=True)
+    assert sum(meta.block_counts) > 0
+
+    # shard exists, sidecar gone: refuse (the split is unknowable)
+    import os
+
+    os.unlink(p + ".meta.json")
+    with pytest.raises(ValueError, match="sidecar .* is missing"):
+        pl_mod.run_alignment(qp, sp, p, config=cfg, shard=(0, 2), resume=True)

@@ -450,6 +450,10 @@ def test_benchutil_chain_and_dataset():
 def test_scheme_validation_errors():
     from bgsa_tpu.schemes import Algorithm, Mode, Scoring, normalize
 
+    # the explicit-algorithm success branches (the library-API path; the
+    # engines construct banded schemes directly)
+    banded = normalize(Scoring(0, 1, 1), Mode.GLOBAL, Algorithm.BANDED)
+    assert banded.algorithm is Algorithm.BANDED and banded.factor == 1
     with pytest.raises(ValueError, match="unit weights"):
         normalize(Scoring(2, -3, -5), Mode.GLOBAL, Algorithm.BANDED)
     with pytest.raises(ValueError, match="unit weights"):
