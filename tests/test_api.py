@@ -77,3 +77,17 @@ def test_string_array_queries_are_multi():
     assert got.shape == (2, 3)
     assert got[0].tolist() == [0, -4, -4]
     assert got[1].tolist() == [-4, 0, -4]
+
+
+def test_encode_edges():
+    """Empty input errors by name; lane-aligned batches skip the pad copy."""
+    import numpy as np
+    import pytest
+
+    from bgsa_tpu import api
+
+    with pytest.raises(ValueError, match="subjects: empty"):
+        api.encode_sequences([], name="subjects")
+    codes = np.zeros((256, 8), np.int32)
+    padded, real = api._pad_lanes(codes, 128)
+    assert padded is codes and real == 256

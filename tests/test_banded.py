@@ -272,3 +272,29 @@ class TestPreloadOverflow:
         lo, hi, inj = pack.pack_banded(s, k, m)
         got = np.asarray(banded_ops.banded_xla(lo, hi, inj, q, q_len=m, s_len=n, k=k))
         np.testing.assert_array_equal(got, want)
+
+
+def test_engine_routes_stream_and_peq_carry(rng):
+    """BandedEngine's pallas routing, engine-level: the s_len >= q_len fast
+    path (single funnel stream) and the 2k > 63, s_len < k corner (the one
+    geometry left on the Peq-carry kernel) — the suite exercised both
+    kernels directly but only the dual-stream route through the engine."""
+    from bgsa_tpu.banded_pipeline import BandedEngine
+    from bgsa_tpu.banded_ref import banded_scores
+    from bgsa_tpu.pipeline import PipelineConfig
+
+    cfg = PipelineConfig(backend="pallas", interpret=True)
+
+    # s >= q: banded_stream
+    q = rng.integers(0, 4, size=(2, 64)).astype(np.int32)
+    s = rng.integers(0, 4, size=(128, 80))
+    got = np.asarray(BandedEngine(6, cfg).scores(q, s.astype(np.uint8)))
+    want = np.stack([banded_scores(qi, s, 6) for qi in q])
+    np.testing.assert_array_equal(got, want)
+
+    # 2k > 63 with s < k: Peq-carry fallback (preload k+s = 60 fits)
+    q = rng.integers(0, 4, size=(2, 50)).astype(np.int32)
+    s = rng.integers(0, 4, size=(128, 20))
+    got = np.asarray(BandedEngine(40, cfg).scores(q, s.astype(np.uint8)))
+    want = np.stack([banded_scores(qi, s, 40) for qi in q])
+    np.testing.assert_array_equal(got, want)
