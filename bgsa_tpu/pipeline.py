@@ -773,12 +773,17 @@ def run_bucketed(
                 # billed to mem_total_time like its *_handle_reads
                 # (cal_sse.c:469-487). Under shard_map the sidecar is pre-split
                 # into shard-local position lists (pack.sidecar_pack).
+                # A custom engine exposing only the documented minimal surface
+                # (n_shards + scores) skips the transport layer and packs its
+                # own way — matching ensure_warm's dummy-bucket fallback.
+                packed_path = hasattr(engine, "scores_packed")
                 t0 = time.perf_counter()
-                transport, payload = pack.select_transport(
-                    codes, n_shards=engine.n_shards, threads=_pack_threads(config)
-                )
+                if packed_path:
+                    transport, payload = pack.select_transport(
+                        codes, n_shards=engine.n_shards, threads=_pack_threads(config)
+                    )
                 stats.pack_time += time.perf_counter() - t0
-                if hasattr(engine, "compile_for"):
+                if packed_path and hasattr(engine, "compile_for"):
                     # Geometries the pre-warm can't know (sidecar sizes, dynamic
                     # shapes): compile now so cal_time stays compile-free; a
                     # cache hit makes this free.
@@ -794,7 +799,10 @@ def run_bucketed(
                         t_bucket += dt  # keep compile out of the balancer's wall time
                 for qb in q_buckets:
                     t_cal = time.perf_counter()
-                    dev_scores = engine.scores_packed(qb, transport, payload, codes.shape[1])
+                    if packed_path:
+                        dev_scores = engine.scores_packed(qb, transport, payload, codes.shape[1])
+                    else:
+                        dev_scores = engine.scores(qb, codes)
                     stats.cal_time += time.perf_counter() - t_cal  # async dispatch
                     events.append(("scores", dev_scores, real, bucket_index))
                     n_pending += 1

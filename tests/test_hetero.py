@@ -227,3 +227,39 @@ def test_cli_reference_type_aliases(tmp_path, rng, capsys):
     rc = cli.main(["align", "-q", qp, "-d", sp, "-f", het,
                    "-t", "MICSSE", "--backend", "xla", "--quiet"])
     assert rc == 1
+
+
+def test_hetero_sparse_n_sidecar_and_uneven_tail(tmp_path, rng):
+    """Sparse-N subjects through the heterogeneous driver: workers must ride
+    the 2bit+sidecar transport (its geometry warmed lazily outside the timed
+    window) — the round-3 sidecar work covered shard_map and --host with
+    tests, but no hetero run ever carried N. The dataset size also leaves
+    the last device a non-chunk-multiple slice (the pad-rows branch)."""
+    Q, m, S, n = 2, 24, 1500, 33  # S=1500: last device slice not chunk-aligned
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    s[rng.integers(0, S, 40), rng.integers(0, n, 40)] = 4  # sparse N
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=512 * (n + 1))
+
+    from bgsa_tpu import pack
+
+    # dataset really is sparse-N (rides the sidecar on any path)
+    assert pack.select_transport(s.astype(np.uint8))[0] == "2bitN"
+
+    single = str(tmp_path / "single.bin")
+    pl_mod.run_alignment(qp, sp, single, config=cfg)
+    conv_single = str(tmp_path / "single.txt")
+    result_io.convert_result(single, conv_single)
+
+    scheme = normalize(Scoring(0, -1, -1), Mode.GLOBAL)
+    devs = jax.devices()
+    engines = [pl_mod.Engine(scheme, cfg, device=devs[i % len(devs)])
+               for i in range(2)]
+    het = str(tmp_path / "het.bin")
+    run_hetero(engines, qp, sp, het, cfg, ratios=[1.0, 2.0])
+    conv_het = str(tmp_path / "het.txt")
+    result_io.convert_result(het, conv_het)
+    assert open(conv_het).read() == open(conv_single).read()

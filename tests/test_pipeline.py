@@ -121,3 +121,57 @@ def test_resume_after_interruption(tmp_path, rng):
     assert stats.subject_count == S - 2 * 256  # only the last bucket recomputed
     assert open(part, "rb").read() == open(full, "rb").read()
     assert open(part + ".info", "rb").read() == open(full + ".info", "rb").read()
+
+
+def test_bitpal_pipeline_pallas_interpret(tmp_path, rng):
+    """The Engine's Pallas BitPAl routes (packed, non-packed, and the
+    rows_per_block override) — the pipeline suite drove BitPAl only through
+    the XLA twins; the Pallas dispatch lines in Engine._build_step ran
+    solely on the chip."""
+    from bgsa_tpu.oracle import align_scores
+
+    qp, sp, q, s = make_files(tmp_path, rng, Q=2, m=24, S=256, n=30)
+    want = np.stack([align_scores(qi, s, Scoring(2, -3, -5)) for qi in q])
+    for packed in (True, False):
+        cfg = pl_mod.PipelineConfig(backend="pallas", interpret=True,
+                                    bitpal_packed=packed, rows_per_block=128)
+        res = str(tmp_path / f"r{packed}.bin")
+        pl_mod.run_alignment(qp, sp, res, Scoring(2, -3, -5), Mode.GLOBAL, cfg)
+        out = str(tmp_path / f"c{packed}.txt")
+        result_io.convert_result(res, out)
+        got = np.loadtxt(out, dtype=np.int64).reshape(2, 256)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_run_bucketed_warm_fallback_without_compile_for(tmp_path, rng):
+    """A custom engine exposing only scores() (the documented minimal
+    surface) takes the dummy-bucket warm-up fallback; output unchanged."""
+    qp, sp, q, s = make_files(tmp_path, rng, Q=2, m=20, S=300, n=25)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=128 * 26)
+
+    class MinimalEngine:
+        n_shards = 1
+
+        def __init__(self):
+            from bgsa_tpu.schemes import normalize
+
+            self._inner = pl_mod.Engine(normalize(Scoring(0, -1, -1)), cfg)
+
+        def scores(self, qc, sc):
+            return self._inner.scores(qc, sc)
+
+    res = str(tmp_path / "r.bin")
+    pl_mod.run_bucketed(MinimalEngine(), qp, sp, res, cfg, shard=None,
+                        shard_ratios=None, resume=False,
+                        write_dtype=np.int16)
+    ref = str(tmp_path / "ref.bin")
+    pl_mod.run_alignment(qp, sp, ref, config=cfg)
+    assert open(res, "rb").read() == open(ref, "rb").read()
+
+
+def test_run_bucketed_dynamic_requires_shard(tmp_path, rng):
+    qp, sp, _, _ = make_files(tmp_path, rng)
+    with pytest.raises(ValueError, match="requires shard"):
+        pl_mod.run_alignment(qp, sp, str(tmp_path / "r.bin"),
+                             config=pl_mod.PipelineConfig(backend="xla"),
+                             dynamic=True)
