@@ -248,3 +248,41 @@ def test_dynamic_with_fasta_inputs(tmp_path, rng):
     result_io.convert_result(single, ca)
     result_io.convert_result(merged, cb)
     assert open(ca).read() == open(cb).read()
+
+
+def test_dynamic_resume_republishes_lost_time_file(tmp_path, rng):
+    """A -D role that crashed after flushing a bucket's scores but before
+    publishing its time leaves peers blocked on that file forever; resume
+    must re-publish a neutral time for every completed-but-unpublished
+    bucket so the whole fleet converges on one schedule. Single-role run
+    (n_hosts=1 is sequential-safe) driven in-process."""
+    Q, m, S, n = 2, 20, 2100, 30
+    q = rng.integers(0, 4, size=(Q, m))
+    s = rng.integers(0, 4, size=(S, n))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    bucket_size = 1024 * (n + 1)
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=bucket_size)
+
+    full = str(tmp_path / "sh0.bin")
+    pl_mod.run_alignment(qp, sp, full, config=cfg, shard=(0, 1),
+                         dynamic=True, sync_dir=str(tmp_path))
+    want = open(full, "rb").read()
+    meta = multihost.ShardMeta.load(full + ".meta.json")
+
+    # crash state: bucket 0 written and flushed, its time file lost
+    token = multihost.run_token(qp, sp, 1, None, bucket_size)
+    os.unlink(multihost.bucket_time_path(str(tmp_path), 0, 0, token))
+    keep = meta.block_counts[0] * Q * 2
+    with open(full, "r+b") as f:
+        f.truncate(keep + 10)
+
+    _, meta_r = pl_mod.run_alignment(qp, sp, full, config=cfg, shard=(0, 1),
+                                     resume=True, dynamic=True,
+                                     sync_dir=str(tmp_path))
+    assert open(full, "rb").read() == want
+    assert meta_r.block_counts == meta.block_counts
+    # the lost time was re-published (neutral 1.0), not left missing
+    with open(multihost.bucket_time_path(str(tmp_path), 0, 0, token)) as f:
+        assert float(f.read()) == 1.0
