@@ -235,19 +235,24 @@ def test_hetero_sparse_n_sidecar_and_uneven_tail(tmp_path, rng):
     window) — the round-3 sidecar work covered shard_map and --host with
     tests, but no hetero run ever carried N. The dataset size also leaves
     the last device a non-chunk-multiple slice (the pad-rows branch)."""
-    Q, m, S, n = 2, 24, 1500, 33  # S=1500: last device slice not chunk-aligned
+    # Geometry chosen against the routing math: 2048-row buckets give a
+    # 256-row dynamic chunk; ratios 1:2 give device 1 a 1536-row slice in
+    # bucket 0 (>= pack.SIDECAR_QUANT, so sparse N selects 2bitN there) and
+    # a 128-row tail-bucket slice (not a chunk multiple -> the pad-rows
+    # branch; device 0's tail share rounds to zero -> the skip branch).
+    Q, m, S, n = 2, 24, 2100, 33
     q = rng.integers(0, 4, size=(Q, m))
     s = rng.integers(0, 4, size=(S, n))
-    s[rng.integers(0, S, 40), rng.integers(0, n, 40)] = 4  # sparse N
+    s[rng.integers(0, S, 50), rng.integers(0, n, 50)] = 4  # sparse N
     qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
     seqfile.write_seq_file(qp, q)
     seqfile.write_seq_file(sp, s)
-    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=512 * (n + 1))
+    cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=2048 * (n + 1))
 
     from bgsa_tpu import pack
 
-    # dataset really is sparse-N (rides the sidecar on any path)
-    assert pack.select_transport(s.astype(np.uint8))[0] == "2bitN"
+    # the 1536-row slice really is sparse-N enough for the sidecar gate
+    assert pack.select_transport(s[512:2048].astype(np.uint8))[0] == "2bitN"
 
     single = str(tmp_path / "single.bin")
     pl_mod.run_alignment(qp, sp, single, config=cfg)
