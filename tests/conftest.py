@@ -56,6 +56,9 @@ _SLOW_TESTS = {
     "test_pipeline_rare_n_uses_sidecar",
     "test_cli_accepts_fastx_inputs",
     "test_cli_profile_flag",
+    "test_hetero_sparse_n_sidecar_and_uneven_tail",
+    "test_dynamic_resume_republishes_lost_time_file",
+    "test_pallas_semiglobal_interpret",
 }
 _SLOW_MODULES = {"test_reference_diff"}
 
