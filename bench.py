@@ -1,15 +1,24 @@
 """Driver benchmark: one JSON line per kernel family on one TPU chip.
 
 Line 1 (headline): unit-cost global Myers. Lines 2-3: banded-Myers filter
-and packed BitPAl, so the round-over-round record catches regressions in
-every family, not just the flagship.
+and packed BitPAl. Line 4: 960 bp multi-word Myers (W=30 words), so
+cross-word-carry regressions show in the round-over-round record.
 
-All three report the reference's "cal GCUPS" (kernel time only,
+All lines report the reference's "cal GCUPS" (kernel time only,
 original/BGSA_SSE/cal_sse.c:485): cells = ref_len * ref_count * read_len *
 subject_count — the banded reference bills the FULL matrix in its GCUPS too
 (banded/BGSA_SSE/cal_sse.c:487), so the banded line is comparable on the
-reference's own terms. vs_baseline = 500 GCUPS for each, the reference's
-AVX512 per-socket unit-cost number (BASELINE.md; the only published chart).
+reference's own terms.
+
+vs_baseline divides each line by ITS OWN family's measured reference
+denominator (BASELINE_FAMILIES.json, reproduced by
+scripts/measure_baseline.py): the published chart is unit-cost Myers only
+(~500 GCUPS per AVX-512 socket), so each family's compiled reference
+binary was measured per-core on this box at the same geometry and scaled
+to that socket anchor via the generator's own Myers AVX-512 instance —
+Myers 500 (the chart, by construction), packed BitPAl (2,-3,-5) 74.5,
+banded k=8 1223.5. Dividing every family by the Myers-only 500 (rounds
+1-3) overstated banded/BitPAl comparability.
 
 Methodology (docs/PERF.md): each timed sample runs N kernel invocations
 chained INSIDE one jit program — each iteration's query input carries a
@@ -25,15 +34,58 @@ the scalar fetch. Medians over reps; the Myers headline re-measures once
 after a pause if it lands in one of the service's documented bad windows.
 """
 
+import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
 
 import numpy as np
 
-BASELINE_GCUPS = 500.0
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Per-family reference denominators (GCUPS per AVX-512 socket). Measured by
+# scripts/measure_baseline.py from the compiled reference binaries; the
+# committed record is BASELINE_FAMILIES.json (fallback constants below are
+# that file's 2026-08-19 values).
+_FALLBACK_DENOMS = {"myers": 500.0, "bitpal": 74.5, "banded": 1223.5}
+
+
+def family_denominators():
+    try:
+        with open(os.path.join(REPO, "BASELINE_FAMILIES.json")) as f:
+            return json.load(f)["family_denominators_gcups"]
+    except (OSError, KeyError, ValueError):
+        return dict(_FALLBACK_DENOMS)
+
+
+BASELINES = family_denominators()
+
+
+def previous_round_gcups(metric_word="unit-cost Myers"):
+    """The headline value from the latest committed BENCH_r*.json, used to
+    gate the bad-window retry on deviation from the round-over-round record
+    (a fixed threshold would stop retrying exactly when a real regression
+    crosses it)."""
+    best = None
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    if metric_word in rec.get("metric", "") and not rec.get("degraded"):
+                        best = (int(m.group(1)), rec["value"])
+        except (OSError, ValueError, KeyError):
+            continue
+    return best[1] if best else None
 
 # See bgsa_tpu.benchutil.backend_alive: probe the remote service in a
 # subprocess (init blocks for hours when the tunnel is down) and fall back
@@ -49,12 +101,13 @@ def note(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def emit(metric, gcups):
+def emit(metric, gcups, family="myers"):
     rec = {
         "metric": metric,
         "value": round(gcups, 1),
         "unit": "GCUPS",
-        "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+        "vs_baseline": round(gcups / BASELINES[family], 3),
+        "baseline_family": f"{family} {BASELINES[family]:g} GCUPS/socket",
     }
     if DEGRADED:
         # The round-over-round record must never ingest CPU smoke numbers
@@ -144,7 +197,14 @@ def main():
     t_reps = time.perf_counter()
     gcups = cells / timed_reps(sample, nc) / 1e9
     reps_wall = time.perf_counter() - t_reps
-    if on_tpu and gcups < 4500 and reps_wall < 240:
+    # Bad-window retry threshold: a documented ~10x service stall reads as a
+    # large deviation from the last committed round's value, while a real
+    # kernel regression is typically modest — gate on the round-over-round
+    # record (55% of the previous reading), NOT a fixed GCUPS number that a
+    # legitimate regression could cross (round-3 VERDICT Weak #4).
+    prev = previous_round_gcups()
+    retry_below = 0.55 * prev if prev else 4500.0
+    if on_tpu and gcups < retry_below and reps_wall < 240:
         # The remote service has documented ~10x bad windows unrelated to
         # the kernel (CLAUDE.md); re-measure once after a pause, REUSING the
         # warmed sampler (a fresh chain_of would re-trace and pay the
@@ -153,7 +213,8 @@ def main():
         # a slow one-time compile episode must not veto the retry. Skipped
         # when the reps themselves crawled (a retry would risk the caller's
         # timeout instead).
-        note(f"bad window ({gcups:.0f} GCUPS); re-measuring after 90 s")
+        note(f"bad window ({gcups:.0f} GCUPS < 0.55 x prev round "
+             f"{prev or 'n/a'}); re-measuring after 90 s")
         time.sleep(90)
         gcups = max(gcups, cells / timed_reps(sample, nc) / 1e9)
     emit("unit-cost Myers cal GCUPS (1 chip, 500bp x 500bp)", gcups)
@@ -177,6 +238,7 @@ def main():
         "banded Myers k=8 cal GCUPS (150bp filter; full-matrix cells as the "
         "reference bills it)",
         Qb * nb * Sb * nb / measure(run_b, qbd, 24) / 1e9,
+        family="banded",
     )
 
     # --- 3. packed BitPAl (2,-3,-5) ---
@@ -188,7 +250,31 @@ def main():
     else:
         run_p = lambda q: bitpal_packed.bitpal_packed_xla(eq31, q, **bp)
     emit("packed BitPAl (2,-3,-5) cal GCUPS (500bp)",
-         cells / measure(run_p, qd, 4) / 1e9)
+         cells / measure(run_p, qd, 4) / 1e9, family="bitpal")
+
+    # --- 4. multi-word Myers (960 bp subjects, W = 30 words) ---
+    # Catches cross-word HP/HN carry-chain regressions the 500 bp line
+    # cannot see get slower (both are multi-word, but 960 bp doubles the
+    # words per column and shifts the block budget).
+    note("multi-word Myers: packing 960bp Eq planes")
+    n4 = 960
+    Q4, S4 = (16, 16384) if on_tpu else (2, 256)
+    queries4 = rng.integers(0, 4, size=(Q4, n4)).astype(np.int32)
+    subjects4 = rng.integers(0, 4, size=(S4, n4))
+    q4d = jax.device_put(queries4)
+    if on_tpu:
+        eq4 = jax.device_put(pack.pack_eq(subjects4, 32))
+        run4 = lambda q: myers_semiglobal.myers_semiglobal(
+            eq4, q, read_len=n4, factor=-1, is_global=True
+        )
+    else:
+        eq4 = jax.device_put(pack.pack_eq(subjects4, 31))
+        run4 = lambda q: myers_xla.myers_global(eq4, q, read_len=n4, factor=-1)
+    out4 = np.asarray(run4(q4d))
+    want4 = -oracle.edit_distances(queries4[0], subjects4[:4])
+    assert (out4[0, :4] == want4).all(), (out4[0, :4], want4)
+    emit("multi-word Myers cal GCUPS (960bp x 960bp, W=30)",
+         Q4 * n4 * S4 * n4 / measure(run4, q4d, 8) / 1e9)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,17 @@
 #              (balancer_harness.c); regen_balancer_trace.py drives it to
 #              rewrite tests/golden/balancer_trace.json
 #
+# Baseline-measurement targets (scripts/measure_baseline.py; per-family
+# reference denominators for bench.py / BASELINE.md):
+#
+#   myers_avx512 — the AVX512 pipeline with the generator's unit-cost Myers
+#                  KNL instance (align_core_myers_avx512.c; the reference
+#                  commits only the BitPAl kernel in its AVX2/AVX512 ports)
+#   myers_sse    — straight build of original/BGSA_SSE (committed Myers)
+#   banded_avx512 — straight build of banded/BGSA_AVX512 (committed banded,
+#                  16x32 lanes; the plain [non-KNL] Makefile path so no
+#                  AVX512ER is enabled)
+#
 # Second argument limits the build to one target (e.g. `build.sh '' balancer`).
 set -e
 HERE=$(dirname "$0")
@@ -43,9 +54,36 @@ PYEOF
     (cd "$BUILD/balancer" && gcc -O2 -o balancer_harness balancer_harness.c)
 }
 
+build_baseline_targets() {
+    # -fno-strict-aliasing on the two Myers ports: their kernels dump vector
+    # scores through `int * vec_dump = ((int *) & score)` (original/BGSA_SSE/
+    # align_core.c:143) — type-punning UB that gcc -O3 exploits (the dump
+    # reads a stale pre-`mullo` spill, flipping every score's sign; verified
+    # against orig_cpu on this box).  icc, the reference's intended compiler,
+    # does no type-based aliasing analysis by default, so this flag is the
+    # faithful build.  banded_avx512 keeps the Makefile's default flags: its
+    # plain build is byte-correct vs banded_cpu AND 1.8x faster (260 vs 146
+    # GCUPS/core) — the baseline gets the faster correct build per port.
+    AVX512FLAGS="-mfma -mavx512f -mavx512cd -w -fno-strict-aliasing"
+    SSEFLAGS="-march=native -w -fno-strict-aliasing"
+    rm -rf "$BUILD/myers_avx512" "$BUILD/myers_sse" "$BUILD/banded_avx512"
+    cp -r /root/reference/original/BGSA_AVX512 "$BUILD/myers_avx512"
+    cp "$HERE/align_core_myers_avx512.c" "$BUILD/myers_avx512/align_core.c"
+    (cd "$BUILD/myers_avx512" && make cc=gcc CFLAGS="$AVX512FLAGS" >/dev/null)
+    cp -r /root/reference/original/BGSA_SSE "$BUILD/myers_sse"
+    (cd "$BUILD/myers_sse" && make cc=gcc CFLAGS="$SSEFLAGS" >/dev/null)
+    cp -r /root/reference/banded/BGSA_AVX512 "$BUILD/banded_avx512"
+    (cd "$BUILD/banded_avx512" && make cc=gcc >/dev/null)
+}
+
 if [ "$ONLY" = "balancer" ]; then
     build_balancer
     echo "built: $BUILD/balancer"
+    exit 0
+fi
+if [ "$ONLY" = "baseline" ]; then
+    build_baseline_targets
+    echo "built: $BUILD/myers_avx512 $BUILD/myers_sse $BUILD/banded_avx512"
     exit 0
 fi
 
@@ -88,4 +126,5 @@ PYEOF
 (cd "$BUILD/semib_avx2" && make cc=gcc >/dev/null)
 
 build_balancer
-echo "built: $BUILD/semi_cpu $BUILD/pos_cpu $BUILD/semib_avx2 $BUILD/balancer"
+build_baseline_targets
+echo "built: $BUILD/semi_cpu $BUILD/pos_cpu $BUILD/semib_avx2 $BUILD/balancer $BUILD/myers_avx512 $BUILD/myers_sse $BUILD/banded_avx512"
