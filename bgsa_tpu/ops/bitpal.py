@@ -331,6 +331,13 @@ def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
     nvals = p.maxv - p.minv + 1
     # State planes + double-buffered Eq blocks under ~10 MB of scoped VMEM.
     budget_rows = max((10 << 20) // ((nvals + 2 * C) * W * LANES * 4), 1)
+    if blockutil.vmem_floor_exceeded(rows, budget_rows):
+        # Even an 8-row block exceeds scoped VMEM at this word count — run
+        # the scan twin (any word_num, same scores).
+        return bitpal_xla(
+            eq, queries, match=match, mismatch=mismatch, gap=gap,
+            read_len=read_len, factor=factor, semi_global=semi_global,
+        )
     r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
     nb = rows_p // r
     eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)

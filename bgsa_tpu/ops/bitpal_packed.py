@@ -402,6 +402,14 @@ def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
     rows = S // LANES
     # State planes + double-buffered Eq blocks under ~10 MB of scoped VMEM.
     budget_rows = max((10 << 20) // ((nbits + 2 * C) * W * LANES * 4), 1)
+    if blockutil.vmem_floor_exceeded(rows, budget_rows):
+        # Subjects past ~8.5 kbp for (2,-3,-5): even an 8-row block exceeds
+        # scoped VMEM — run the scan twin (any word_num, same scores).
+        return bitpal_packed_xla(
+            eq, queries, match=match, mismatch=mismatch, gap=gap,
+            read_len=read_len, factor=factor, semi_global=semi_global,
+            word_bits=word_bits,
+        )
     r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
     nb = rows_p // r
     eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)

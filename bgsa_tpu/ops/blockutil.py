@@ -36,6 +36,19 @@ def choose_rows(rows: int, *limits: int) -> tuple[int, int]:
     return r, padded
 
 
+def vmem_floor_exceeded(rows: int, budget_rows: int) -> bool:
+    """True when a kernel's VMEM budget cannot be honored by shrinking rows.
+
+    Blocks cannot go below 8 sublane rows (or the whole array when smaller),
+    so a ``budget_rows`` under that floor means the Pallas kernel would
+    exceed scoped VMEM and die inside Mosaic with no friendly error — the
+    reference kernels take any ``word_num``
+    (original/BGSA_SSE/cal_sse.c:253-257), so wrappers route this geometry
+    to their XLA twin instead (same scores, any length).
+    """
+    return budget_rows < min(rows, 8)
+
+
 def pad_rows(arr, axis: int, padded: int):
     """Zero-pad ``arr`` along ``axis`` up to ``padded`` rows."""
     rows = arr.shape[axis]

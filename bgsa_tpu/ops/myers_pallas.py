@@ -34,7 +34,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import blockutil
+from . import blockutil, myers_xla
 
 WORD_BITS = 31
 LANES = 128
@@ -150,6 +150,12 @@ def myers_global(
     # (2*C planes) + VP/VN state (2) per word, against the ~16 MB scoped
     # stack — long subjects (large W) shrink the block.
     budget_rows = max((10 << 20) // ((2 * C + 2) * W * LANES * 4), 1)
+    if blockutil.vmem_floor_exceeded(rows, budget_rows):
+        # Even an 8-row block exceeds scoped VMEM at this word count — run
+        # the scan twin (any word_num, same scores).
+        return myers_xla.myers_global(
+            eq, queries, read_len=read_len, word_bits=word_bits, factor=factor
+        )
     r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
     nb = rows_p // r
     eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)

@@ -75,20 +75,67 @@ def _column(eq_c, pv, mv, score, min_score, *, read_len, is_global=False):
     return new_pv, new_mv, score, min_score
 
 
+def _column_scan(eq_c, pv, mv, score, min_score, *, read_len, is_global=False):
+    """_column with the word loop as a lax.scan (same math, stacked state).
+
+    Keeps the compiled body O(1) in W for the long-subject geometries the
+    Pallas wrapper routes here (W > ~340 exceeds the VMEM floor); the
+    Python loop's unrolled jaxpr made those compiles take minutes. Used for
+    W > 64; bit-identical to the loop (tests/test_round4_fixes.py).
+    """
+    W = eq_c.shape[0]
+    one = jnp.uint32(1)
+    last_shift = (read_len - 1) % WORD_BITS
+
+    def word_step(carry, xs):
+        hp_in, hn_in = carry
+        eq0, pvj, mvj = xs
+        xv = eq0 | mvj
+        eq = eq0 | hn_in
+        xh = (((eq & pvj) + pvj) ^ pvj) | eq
+        ph = ~(xh | pvj) | mvj
+        mh = pvj & xh
+        ph_bit = (ph >> last_shift) & one  # consumed only for the last word
+        mh_bit = (mh >> last_shift) & one
+        hp_out = ph >> (WORD_BITS - 1)
+        hn_out = mh >> (WORD_BITS - 1)
+        ph = (ph << 1) | hp_in
+        mh = (mh << 1) | hn_in
+        npv = ~(xv | ph) | mh
+        nmv = ph & xv
+        return (hp_out, hn_out), (npv, nmv, ph_bit, mh_bit)
+
+    hp0 = jnp.full(eq_c.shape[1:], jnp.uint32(1 if is_global else 0))
+    hn0 = jnp.zeros(eq_c.shape[1:], jnp.uint32)
+    _, (npv, nmv, ph_bits, mh_bits) = lax.scan(word_step, (hp0, hn0), (eq_c, pv, mv))
+    score = score + ph_bits[W - 1].astype(jnp.int32) - mh_bits[W - 1].astype(jnp.int32)
+    if min_score is None:
+        return npv, nmv, score, None
+    return npv, nmv, score, jnp.minimum(min_score, score)
+
+
 @functools.partial(jax.jit, static_argnames=("read_len", "factor", "is_global"))
 def myers_semiglobal_xla(eq, queries, *, read_len: int, factor: int = -1, is_global: bool = False):
     """Portable backend. eq (5, W, S) uint32 (32-bit packing), queries (Q, m)."""
     W, S = eq.shape[1], eq.shape[2]
+
+    def column_fn(eq_c, pv, mv, score, mins):
+        if W <= 64:
+            npv, nmv, score, mins = _column(
+                eq_c, pv, mv, score, mins, read_len=read_len, is_global=is_global
+            )
+            return jnp.stack(npv), jnp.stack(nmv), score, mins
+        return _column_scan(
+            eq_c, pv, mv, score, mins, read_len=read_len, is_global=is_global
+        )
 
     def one_query(query):
         def step(carry, c):
             pv, mv, score = carry[:3]
             mins = None if is_global else carry[3]
             eq_c = lax.dynamic_index_in_dim(eq, c, axis=0, keepdims=False)
-            npv, nmv, score, mins = _column(
-                eq_c, pv, mv, score, mins, read_len=read_len, is_global=is_global
-            )
-            out = (jnp.stack(npv), jnp.stack(nmv), score)
+            npv, nmv, score, mins = column_fn(eq_c, pv, mv, score, mins)
+            out = (npv, nmv, score)
             return (out if is_global else out + (mins,)), None
 
         pv0 = jnp.full((W, S), jnp.uint32(0xFFFFFFFF))
@@ -168,6 +215,12 @@ def myers_semiglobal(
     # state (2), against the ~16 MB scoped-VMEM stack (r32 at W=94 measured
     # 16.78 MB and failed to compile before this accounting).
     budget_rows = max((10 << 20) // ((2 * C + 2) * W * LANES * 4), 1)
+    if blockutil.vmem_floor_exceeded(rows, budget_rows):
+        # Subjects past ~10.9 kbp (W >= ~341): even an 8-row block exceeds
+        # scoped VMEM, so run the scan twin — any word_num, same scores.
+        return myers_semiglobal_xla(
+            eq, queries, read_len=read_len, factor=factor, is_global=is_global
+        )
     r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
     nb = rows_p // r
     eq4 = blockutil.pad_rows(eq.reshape(C, W, rows, LANES), 2, rows_p)

@@ -663,6 +663,11 @@ def run_bucketed(
                 if stop_reader.is_set():
                     return  # main loop failed; don't block on a full queue
         except BaseException as e:  # noqa: BLE001 — forwarded, re-raised below
+            # BaseException (not Exception) on purpose: a KeyboardInterrupt/
+            # SystemExit landing here would otherwise kill the thread with
+            # no sentinel and deadlock the main loop on buckets.get().  The
+            # main loop re-raises interrupt-class exceptions as themselves
+            # (not wrapped in OSError) to keep signal semantics.
             payload = _ReaderFailed(e)
         while not stop_reader.is_set():
             try:
@@ -718,6 +723,10 @@ def run_bucketed(
             if bucket is None:
                 break
             if isinstance(bucket, _ReaderFailed):
+                if not isinstance(bucket.error, Exception):
+                    # KeyboardInterrupt / SystemExit keep their own type —
+                    # wrapping them in OSError broke Ctrl-C semantics.
+                    raise bucket.error
                 raise OSError(
                     f"reading {db_path} failed mid-run: {bucket.error}"
                 ) from bucket.error

@@ -49,7 +49,12 @@ def test_hetero_static_matches_single(tmp_path, rng):
 
 def test_hetero_dynamic_rebalances(tmp_path, rng):
     """Device 1 artificially slowed: later buckets shift subjects to device
-    0, output still identical to the single-device run."""
+    0, output still identical to the single-device run.
+
+    This is the suite's ONE sanctioned end-to-end sleep test (slow-marked):
+    it asserts convergence *direction* from a real slowed device. All other
+    dynamic tests assert on deterministic artifacts only (published time
+    files / recorded ratio schedules) — see test_dynamic.py."""
     qp, sp, n = _dataset(tmp_path, rng, S=4200)
     cfg = pl_mod.PipelineConfig(backend="xla", bucket_size=1024 * (n + 1))
 
