@@ -331,9 +331,10 @@ def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
     nvals = p.maxv - p.minv + 1
     # State planes + double-buffered Eq blocks under ~10 MB of scoped VMEM.
     budget_rows = max((10 << 20) // ((nvals + 2 * C) * W * LANES * 4), 1)
-    if blockutil.vmem_floor_exceeded(rows, budget_rows):
+    hard_rows = blockutil.HARD_VMEM_BYTES // ((nvals + 2 * C) * W * LANES * 4)
+    if blockutil.vmem_floor_exceeded(rows, hard_rows):
         # Even an 8-row block exceeds scoped VMEM at this word count — run
-        # the scan twin (any word_num, same scores).
+        # the XLA twin (any word_num, same scores).
         return bitpal_xla(
             eq, queries, match=match, mismatch=mismatch, gap=gap,
             read_len=read_len, factor=factor, semi_global=semi_global,

@@ -402,9 +402,10 @@ def bitpal_packed(eq, queries, *, match, mismatch, gap, read_len, factor=1,
     rows = S // LANES
     # State planes + double-buffered Eq blocks under ~10 MB of scoped VMEM.
     budget_rows = max((10 << 20) // ((nbits + 2 * C) * W * LANES * 4), 1)
-    if blockutil.vmem_floor_exceeded(rows, budget_rows):
-        # Subjects past ~8.5 kbp for (2,-3,-5): even an 8-row block exceeds
-        # scoped VMEM — run the scan twin (any word_num, same scores).
+    hard_rows = blockutil.HARD_VMEM_BYTES // ((nbits + 2 * C) * W * LANES * 4)
+    if blockutil.vmem_floor_exceeded(rows, hard_rows):
+        # Subjects past ~7.9 kbp for (2,-3,-5): even an 8-row block exceeds
+        # scoped VMEM — run the XLA twin (any word_num, same scores).
         return bitpal_packed_xla(
             eq, queries, match=match, mismatch=mismatch, gap=gap,
             read_len=read_len, factor=factor, semi_global=semi_global,

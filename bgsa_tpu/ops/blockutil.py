@@ -36,17 +36,27 @@ def choose_rows(rows: int, *limits: int) -> tuple[int, int]:
     return r, padded
 
 
-def vmem_floor_exceeded(rows: int, budget_rows: int) -> bool:
-    """True when a kernel's VMEM budget cannot be honored by shrinking rows.
+# Scoped-VMEM hard ceiling for the routing decision. The kernels budget
+# blocks against a soft ~10 MB (headroom for the pipeline's double
+# buffering), but a block floored at 8 sublane rows may exceed that budget
+# and still compile — the real Mosaic failure is at ~16 MB (measured: r32 at
+# W=94 = 16.78 MB "failed to compile", myers_semiglobal.py). Routing on the
+# soft budget would needlessly demote W ~214-340 geometries that Pallas
+# handles; 15 MB keeps a safety margin under the measured ceiling.
+HARD_VMEM_BYTES = 15 << 20
+
+
+def vmem_floor_exceeded(rows: int, hard_rows: int) -> bool:
+    """True when even the smallest legal block exceeds scoped VMEM.
 
     Blocks cannot go below 8 sublane rows (or the whole array when smaller),
-    so a ``budget_rows`` under that floor means the Pallas kernel would
-    exceed scoped VMEM and die inside Mosaic with no friendly error — the
-    reference kernels take any ``word_num``
+    so ``hard_rows`` (= HARD_VMEM_BYTES / bytes-per-row) under that floor
+    means the Pallas kernel would die inside Mosaic with no friendly error —
+    the reference kernels take any ``word_num``
     (original/BGSA_SSE/cal_sse.c:253-257), so wrappers route this geometry
     to their XLA twin instead (same scores, any length).
     """
-    return budget_rows < min(rows, 8)
+    return hard_rows < min(rows, 8)
 
 
 def pad_rows(arr, axis: int, padded: int):

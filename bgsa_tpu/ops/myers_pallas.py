@@ -45,6 +45,47 @@ LANES = 128
 DEFAULT_ROWS = 64
 
 
+def _column_words(eq_c, vp, vn, score, *, word_bits, maskh, carry_mask):
+    """One query-character column over all words (the reference's 15-op
+    reserved-carry update, align_core.c:74-138). Module-level so
+    scripts/roofline.py can count its vector ops from the jaxpr.
+
+    eq_c/vp/vn: (W, R, L) uint32; score: (R, L) int32.
+    """
+    W = eq_c.shape[0]
+    tile = eq_c.shape[1:]
+    hp_shift = jnp.ones(tile, jnp.uint32)
+    hn_shift = jnp.zeros(tile, jnp.uint32)
+    add_carry = jnp.zeros(tile, jnp.uint32)
+    new_vp = []
+    new_vn = []
+    for j in range(W):
+        pm = eq_c[j] | vn[j]
+        s = (vp[j] & pm) + vp[j] + add_carry
+        if j < W - 1:  # the last word's outgoing carries are unused
+            add_carry = s >> word_bits
+        # No mask on s: its bit 31 (the add carry) leaks into d0/hp, but
+        # every consumer either masks (vp'/vn') or shifts it out (hp<<1),
+        # and maskh is always below bit 31 — one op less on the hot chain
+        # (+4% kernel-only, exact parity).
+        d0 = (s ^ vp[j]) | pm
+        hp = ~(d0 | vp[j]) | vn[j]
+        hn = d0 & vp[j]
+        if j == W - 1:
+            hn_hit = (hn & maskh) != 0
+            hp_hit = (hp & maskh) != 0
+            score = score - hn_hit.astype(jnp.int32)
+            score = score + jnp.logical_and(hp_hit, jnp.logical_not(hn_hit)).astype(jnp.int32)
+        hp = (hp << 1) | hp_shift
+        hn = (hn << 1) | hn_shift
+        if j < W - 1:
+            hp_shift = hp >> word_bits
+            hn_shift = hn >> word_bits
+        new_vp.append((~(d0 | hp) | hn) & carry_mask)
+        new_vn.append((d0 & hp) & carry_mask)
+    return jnp.stack(new_vp), jnp.stack(new_vn), score
+
+
 def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len, unroll):
     """One (subject_block, query) grid cell.
 
@@ -61,36 +102,10 @@ def _kernel(q_ref, eq_ref, out_ref, *, read_len, word_bits, factor, q_len, unrol
         vp, vn, score = state  # (W, R, L), (W, R, L), (R, L)
         c = q_ref[0, 0, i]
         eq_c = eq_ref[c]  # dynamic index on the character plane
-        hp_shift = jnp.ones(tile, jnp.uint32)
-        hn_shift = jnp.zeros(tile, jnp.uint32)
-        add_carry = jnp.zeros(tile, jnp.uint32)
-        new_vp = []
-        new_vn = []
-        for j in range(W):
-            pm = eq_c[j] | vn[j]
-            s = (vp[j] & pm) + vp[j] + add_carry
-            if j < W - 1:  # the last word's outgoing carries are unused
-                add_carry = s >> word_bits
-            # No mask on s: its bit 31 (the add carry) leaks into d0/hp, but
-            # every consumer either masks (vp'/vn') or shifts it out (hp<<1),
-            # and maskh is always below bit 31 — one op less on the hot chain
-            # (+4% kernel-only, exact parity).
-            d0 = (s ^ vp[j]) | pm
-            hp = ~(d0 | vp[j]) | vn[j]
-            hn = d0 & vp[j]
-            if j == W - 1:
-                hn_hit = (hn & maskh) != 0
-                hp_hit = (hp & maskh) != 0
-                score = score - hn_hit.astype(jnp.int32)
-                score = score + jnp.logical_and(hp_hit, jnp.logical_not(hn_hit)).astype(jnp.int32)
-            hp = (hp << 1) | hp_shift
-            hn = (hn << 1) | hn_shift
-            if j < W - 1:
-                hp_shift = hp >> word_bits
-                hn_shift = hn >> word_bits
-            new_vp.append((~(d0 | hp) | hn) & carry_mask)
-            new_vn.append((d0 & hp) & carry_mask)
-        return jnp.stack(new_vp), jnp.stack(new_vn), score
+        return _column_words(
+            eq_c, vp, vn, score, word_bits=word_bits, maskh=maskh,
+            carry_mask=carry_mask,
+        )
 
     vp0 = jnp.full((W,) + tile, carry_mask)
     vn0 = jnp.zeros((W,) + tile, jnp.uint32)
@@ -150,9 +165,11 @@ def myers_global(
     # (2*C planes) + VP/VN state (2) per word, against the ~16 MB scoped
     # stack — long subjects (large W) shrink the block.
     budget_rows = max((10 << 20) // ((2 * C + 2) * W * LANES * 4), 1)
-    if blockutil.vmem_floor_exceeded(rows, budget_rows):
-        # Even an 8-row block exceeds scoped VMEM at this word count — run
-        # the scan twin (any word_num, same scores).
+    hard_rows = blockutil.HARD_VMEM_BYTES // ((2 * C + 2) * W * LANES * 4)
+    if blockutil.vmem_floor_exceeded(rows, hard_rows):
+        # Even an 8-row block exceeds scoped VMEM at this word count (~9.9
+        # kbp at 31 bits/word) — run the scan twin (any word_num, same
+        # scores).
         return myers_xla.myers_global(
             eq, queries, read_len=read_len, word_bits=word_bits, factor=factor
         )

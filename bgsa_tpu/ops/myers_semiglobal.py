@@ -215,8 +215,9 @@ def myers_semiglobal(
     # state (2), against the ~16 MB scoped-VMEM stack (r32 at W=94 measured
     # 16.78 MB and failed to compile before this accounting).
     budget_rows = max((10 << 20) // ((2 * C + 2) * W * LANES * 4), 1)
-    if blockutil.vmem_floor_exceeded(rows, budget_rows):
-        # Subjects past ~10.9 kbp (W >= ~341): even an 8-row block exceeds
+    hard_rows = blockutil.HARD_VMEM_BYTES // ((2 * C + 2) * W * LANES * 4)
+    if blockutil.vmem_floor_exceeded(rows, hard_rows):
+        # Subjects past ~10.2 kbp (W > 320): even an 8-row block exceeds
         # scoped VMEM, so run the scan twin — any word_num, same scores.
         return myers_semiglobal_xla(
             eq, queries, read_len=read_len, factor=factor, is_global=is_global

@@ -18,17 +18,17 @@ from bgsa_tpu.ops import bitpal, bitpal_packed, blockutil, myers_pallas, myers_s
 
 
 def test_vmem_floor_logic():
-    # budget under the 8-row floor with more rows than budget -> exceeded
-    assert blockutil.vmem_floor_exceeded(rows=64, budget_rows=4)
-    assert blockutil.vmem_floor_exceeded(rows=8, budget_rows=7)
-    # whole array smaller than the budget fits as a full-dimension block
-    assert not blockutil.vmem_floor_exceeded(rows=4, budget_rows=4)
-    assert not blockutil.vmem_floor_exceeded(rows=3, budget_rows=7)
-    # healthy budgets never trigger
-    assert not blockutil.vmem_floor_exceeded(rows=1000, budget_rows=8)
-    assert not blockutil.vmem_floor_exceeded(rows=1000, budget_rows=56)
-    # an over-budget full-array block still triggers (rows=6 > budget=5)
-    assert blockutil.vmem_floor_exceeded(rows=6, budget_rows=5)
+    # hard cap under the 8-row floor with more rows than it -> exceeded
+    assert blockutil.vmem_floor_exceeded(rows=64, hard_rows=4)
+    assert blockutil.vmem_floor_exceeded(rows=8, hard_rows=7)
+    # whole array smaller than the cap fits as a full-dimension block
+    assert not blockutil.vmem_floor_exceeded(rows=4, hard_rows=4)
+    assert not blockutil.vmem_floor_exceeded(rows=3, hard_rows=7)
+    # healthy caps never trigger
+    assert not blockutil.vmem_floor_exceeded(rows=1000, hard_rows=8)
+    assert not blockutil.vmem_floor_exceeded(rows=1000, hard_rows=56)
+    # an over-cap full-array block still triggers (rows=6 > cap=5)
+    assert blockutil.vmem_floor_exceeded(rows=6, hard_rows=5)
 
 
 def _long_subjects(rng, count, length):
@@ -36,11 +36,11 @@ def _long_subjects(rng, count, length):
 
 
 def test_myers_fullword_12kbp_routes_to_xla(rng):
-    # 12288 bp -> W=384 full words; budget_rows = 10MB/(12*384*512B) = 4 < 8
-    # with rows = 1024/128 = 8. Without the guard this is a Mosaic VMEM
-    # failure; with it, the call must succeed on ANY backend (here CPU,
-    # where a non-interpret pallas_call cannot run at all) and match the
-    # oracle.
+    # 12288 bp -> W=384 full words > the W=320 routing threshold
+    # (hard_rows = 15MB/(12*384*512B) = 6 < 8) with rows = 1024/128 = 8.
+    # Without the guard this is a Mosaic VMEM failure; with it, the call
+    # must succeed on ANY backend (here CPU, where a non-interpret
+    # pallas_call cannot run at all) and match the oracle.
     n = 12288
     q = rng.integers(0, 4, size=(1, 24)).astype(np.int32)
     s = _long_subjects(rng, 1024, n)
@@ -63,7 +63,7 @@ def test_myers_31bit_12kbp_routes_to_xla(rng):
 
 
 def test_bitpal_packed_long_routes_to_xla(rng, monkeypatch):
-    # (2,-3,-5): 5 planes + 10 Eq -> budget dies at W >= ~273 (~8.5 kbp).
+    # (2,-3,-5): 5 planes + 10 Eq -> routes past W = 256 (~7.9 kbp).
     # The BitPAl twins keep Python word loops (their plane networks make a
     # word scan a much bigger rewrite), whose compile at W=300 costs minutes
     # — so this asserts the ROUTING via a recorder; the routed math itself
@@ -87,7 +87,7 @@ def test_bitpal_packed_long_routes_to_xla(rng, monkeypatch):
 
 
 def test_bitpal_nonpacked_long_routes_to_xla(rng, monkeypatch):
-    # (1,-2,-3): nvals = 7 planes + 10 Eq; budget dies around W >= ~361
+    # (1,-2,-3): nvals = 7 planes + 10 Eq; routes past W = 226 (~7.0 kbp)
     n = 11500  # W = ceil(11500/31) = 371
     q = rng.integers(0, 4, size=(1, 10)).astype(np.int32)
     s = _long_subjects(rng, 1024, n)
@@ -130,6 +130,40 @@ def test_xla_31bit_word_scan_matches_oracle(rng):
     got = np.asarray(myers_xla.myers_global(eq, q, read_len=n, factor=-1))
     want = np.stack([-edit_distances(qi, s) for qi in q])
     np.testing.assert_array_equal(got, want)
+
+
+def test_mid_envelope_stays_on_pallas(rng, monkeypatch):
+    """8 kbp (W=250) exceeds the soft 10 MB sizing budget (blocks floor at
+    8 rows) but fits the 15 MB hard cap — it must NOT be demoted to the XLA
+    twin (routing on the soft budget would have cost Pallas speed for every
+    ~7-10 kbp run). Recorder check: running the real W=250 kernel through
+    the XLA-CPU compiler takes minutes, so the twin is patched to fail loud
+    and pallas_call to a recorder returning the right shape."""
+    n = 250 * 32
+    q = rng.integers(0, 4, size=(1, 6)).astype(np.int32)
+    s = _long_subjects(rng, 1024, n)
+    eq = pack.pack_eq(s, 32)
+
+    def no_route(*a, **kw):
+        raise AssertionError("mid-envelope geometry was routed to the XLA twin")
+
+    monkeypatch.setattr(myers_semiglobal, "myers_semiglobal_xla", no_route)
+    pallas_calls = []
+    real_pallas_call = myers_semiglobal.pl.pallas_call
+
+    def fake_pallas_call(kernel, **kw):
+        pallas_calls.append(kw["out_shape"].shape)
+        return lambda *args: np.zeros(kw["out_shape"].shape, np.int32)
+
+    monkeypatch.setattr(myers_semiglobal.pl, "pallas_call", fake_pallas_call)
+    try:
+        out = myers_semiglobal.myers_semiglobal(
+            eq, q, read_len=n, factor=-1, is_global=True
+        )
+    finally:
+        monkeypatch.setattr(myers_semiglobal.pl, "pallas_call", real_pallas_call)
+    assert len(pallas_calls) == 1
+    assert out.shape == (1, s.shape[0])
 
 
 def test_short_subjects_still_use_pallas_path(rng):
