@@ -69,22 +69,42 @@ def previous_round_gcups(metric_word="unit-cost Myers"):
     gate the bad-window retry on deviation from the round-over-round record
     (a fixed threshold would stop retrying exactly when a real regression
     crosses it)."""
-    best = None
-    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+    best = None  # (round_number, value) — keep the HIGHEST round, not the
+    # last path in lexicographic order (which misorders at r10 vs r9)
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    rec = json.loads(line)
-                    if metric_word in rec.get("metric", "") and not rec.get("degraded"):
-                        best = (int(m.group(1)), rec["value"])
-        except (OSError, ValueError, KeyError):
+                raw = f.read()
+        except OSError:
             continue
+        # The driver-committed artifact is one JSON object whose "tail"
+        # carries our stdout (the JSON metric lines embedded as text);
+        # accept plain JSONL too.
+        try:
+            doc = json.loads(raw)
+            if isinstance(doc, dict) and "metric" in doc:
+                lines = [raw]  # a single bare metric record
+            elif isinstance(doc, dict):
+                lines = doc.get("tail", "").splitlines()
+            else:
+                lines = []
+        except ValueError:
+            lines = raw.splitlines()
+        for line in lines:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if metric_word in rec.get("metric", "") and not rec.get("degraded"):
+                if best is None or rnd > best[0]:
+                    best = (rnd, rec["value"])
     return best[1] if best else None
 
 # See bgsa_tpu.benchutil.backend_alive: probe the remote service in a

@@ -166,6 +166,36 @@ def test_mid_envelope_stays_on_pallas(rng, monkeypatch):
     assert out.shape == (1, s.shape[0])
 
 
+def test_bench_previous_round_reads_driver_wrapped_artifacts(tmp_path, monkeypatch):
+    """The committed BENCH_r*.json artifacts are driver-wrapped (one JSON
+    object whose "tail" embeds our stdout lines); the retry gate must parse
+    those, pick the HIGHEST round (not lexicographic file order), and skip
+    degraded lines — otherwise it silently falls back to the fixed
+    threshold."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    line9 = json.dumps({"metric": "unit-cost Myers cal GCUPS", "value": 7000.0})
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"rc": 0, "tail": "noise\n" + line9 + "\n"}))
+    # r10 sorts before r09 lexicographically ("BENCH_r10" > "BENCH_r09" is
+    # fine, but "BENCH_r9" vs "BENCH_r10" is not) — use the int round
+    line10 = json.dumps({"metric": "unit-cost Myers cal GCUPS", "value": 8100.0})
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"rc": 0, "tail": line10 + "\n"}))
+    # a later degraded round must not win
+    line11 = json.dumps({"metric": "[DEGRADED] unit-cost Myers cal GCUPS",
+                         "value": 20.0, "degraded": True})
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"rc": 0, "tail": line11 + "\n"}))
+    assert bench.previous_round_gcups() == 8100.0
+    # plain-JSONL artifacts parse too
+    (tmp_path / "BENCH_r12.json").write_text(line9 + "\n")
+    assert bench.previous_round_gcups() == 7000.0
+
+
 def test_short_subjects_still_use_pallas_path(rng):
     # A healthy geometry must not be re-routed: interpret=True only works on
     # the pallas_call path, so reaching it proves the guard stayed off.
