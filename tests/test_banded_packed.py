@@ -1,0 +1,125 @@
+"""Packed banded kernel: bit-exactness vs the banded_ref golden model and
+the existing kernels, field-geometry edges, and eligibility gating."""
+
+import numpy as np
+import pytest
+
+from bgsa_tpu import banded_ref, pack
+from bgsa_tpu.ops import banded as banded_ops
+from bgsa_tpu.ops import banded_packed as bp
+
+from test_banded import make_case
+
+
+@pytest.mark.parametrize(
+    "m,n,k,n_sub",
+    [
+        (150, 150, 8, 3),   # headline geometry: pitch 18, 3 fields
+        (150, 158, 8, 2),   # longer subjects: band 25, pitch 26, straddle
+        (100, 100, 4, 6),   # narrow band: 6 fields of pitch 10
+        (150, 150, 15, 2),  # widest packable equal-length band (31 bits)
+        (96, 128, 6, 1 + 64 // 46 - 1),  # h >> k: band 45 -> pitch 46, 1 field
+    ],
+)
+def test_eligibility(m, n, k, n_sub):
+    got = bp.packed_subbands(m, n, k)
+    if n_sub >= 2:
+        assert got == n_sub
+    else:
+        assert got == 0
+
+
+def test_eligibility_rejects_short_subjects_and_overflow():
+    assert bp.packed_subbands(150, 140, 8) == 0  # h < k geometry
+    # matches-field overflow: pitch 10 fields hold counts < 512 only
+    assert bp.packed_subbands(600, 600, 4) == 0
+    assert bp.packed_subbands(500, 500, 4) == 6
+
+
+@pytest.mark.parametrize("m,n,k", [(150, 150, 8), (150, 158, 8), (100, 100, 4),
+                                   (150, 150, 15), (70, 70, 8), (500, 500, 8)])
+def test_xla_twin_matches_bitport(rng, m, n, k):
+    n_sub = bp.packed_subbands(m, n, k)
+    S = n_sub * 128
+    q, s = make_case(rng, 2, m, S, n, k)
+    streams = bp.pack_packed_streams_jax(np.asarray(s, np.int32), k, m, n_sub)
+    got = np.asarray(bp.banded_packed_xla(streams, q, q_len=m, s_len=n, k=k))
+    want = np.array([banded_ref.banded_scores(qi, s, k) for qi in q])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("m,n,k", [(150, 150, 8), (150, 158, 8), (100, 100, 4)])
+def test_pallas_matches_stream_kernel(rng, m, n, k):
+    n_sub = bp.packed_subbands(m, n, k)
+    S = n_sub * 256  # two lane rows per chunk
+    q, s = make_case(rng, 3, m, S, n, k)
+    streams = bp.pack_packed_streams_jax(np.asarray(s, np.int32), k, m, n_sub)
+    got = np.asarray(bp.banded_stream_packed(streams, q, q_len=m, s_len=n,
+                                             k=k, interpret=True))
+    stream = np.asarray(pack.pack_banded_stream_jax(np.asarray(s, np.int32), k, m))
+    want = np.asarray(banded_ops.banded_stream(stream, q, q_len=m, s_len=n,
+                                               k=k, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    assert (got == 127).any() and (got != 127).any()
+
+
+def test_pallas_multi_block_rows(rng):
+    # rows_per_block smaller than the row count: grid blocking + row padding
+    m, n, k = 150, 150, 8
+    n_sub = bp.packed_subbands(m, n, k)
+    S = n_sub * 3 * 128
+    q, s = make_case(rng, 2, m, S, n, k)
+    streams = bp.pack_packed_streams_jax(np.asarray(s, np.int32), k, m, n_sub)
+    got = np.asarray(bp.banded_stream_packed(
+        streams, q, q_len=m, s_len=n, k=k, interpret=True, rows_per_block=2))
+    want = np.array([banded_ref.banded_scores(qi, s, k) for qi in q])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_block_exit_off_is_identical(rng):
+    m, n, k = 150, 150, 8
+    n_sub = bp.packed_subbands(m, n, k)
+    q, s = make_case(rng, 2, m, n_sub * 128, n, k)
+    streams = bp.pack_packed_streams_jax(np.asarray(s, np.int32), k, m, n_sub)
+    kw = dict(q_len=m, s_len=n, k=k, interpret=True)
+    a = np.asarray(bp.banded_stream_packed(streams, q, block_exit=True, **kw))
+    b = np.asarray(bp.banded_stream_packed(streams, q, block_exit=False, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_all_garbage_early_exit_scores(rng):
+    # every subject random: the whole-block exit path must still report 127
+    # for dead lanes and exact scores for any stragglers
+    m, n, k = 150, 150, 8
+    n_sub = bp.packed_subbands(m, n, k)
+    q = rng.integers(0, 4, size=(2, m)).astype(np.int32)
+    s = rng.integers(0, 4, size=(n_sub * 128, n))
+    streams = bp.pack_packed_streams_jax(np.asarray(s, np.int32), k, m, n_sub)
+    got = np.asarray(bp.banded_stream_packed(streams, q, q_len=m, s_len=n,
+                                             k=k, interpret=True))
+    want = np.array([banded_ref.banded_scores(qi, s, k) for qi in q])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_short_query_no_checkpoint(rng):
+    # q_len < 64: single checkpoint at q_len; exercises the static-tail latch
+    m, n, k = 40, 48, 4
+    n_sub = bp.packed_subbands(m, n, k)
+    assert n_sub >= 2
+    q, s = make_case(rng, 2, m, n_sub * 128, n, k)
+    streams = bp.pack_packed_streams_jax(np.asarray(s, np.int32), k, m, n_sub)
+    got = np.asarray(bp.banded_packed_xla(streams, q, q_len=m, s_len=n, k=k))
+    want = np.array([banded_ref.banded_scores(qi, s, k) for qi in q])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wrapper_validates_chunks(rng):
+    m, n, k = 150, 150, 8
+    q = rng.integers(0, 4, size=(1, m)).astype(np.int32)
+    s = np.asarray(rng.integers(0, 4, size=(2 * 128, n)), np.int32)
+    streams = bp.pack_packed_streams_jax(s, k, m, 2)  # wrong chunk count
+    with pytest.raises(ValueError, match="3 sub-bands"):
+        bp.banded_stream_packed(streams, q, q_len=m, s_len=n, k=k,
+                                interpret=True)
+    with pytest.raises(ValueError, match="multiple of"):
+        bp.pack_packed_streams_jax(s[:200], k, m, 3)
