@@ -55,8 +55,10 @@ class BandedEngine:
         import jax.numpy as jnp
 
         from .ops import banded as banded_ops
+        from .ops import banded_packed
 
         unpack = pack.transport_unpack_jax(transport)
+        n_sub = banded_packed.packed_subbands(q_len, s_len, k)
 
         def step_local(qcodes, packed):
             scodes = unpack(packed, s_len)
@@ -65,7 +67,29 @@ class BandedEngine:
                 kw["interpret"] = config.interpret
                 if config.rows_per_block:
                     kw["rows_per_block"] = config.rows_per_block
-                if s_len >= q_len:  # fast path: funnel-shift Eq stream
+                # interpret mode (tests/debug) caps packed fields at 4: the
+                # XLA CPU simplifier livelocks on wider inlined networks
+                # (see ops/banded_packed.banded_stream_packed); Mosaic on
+                # the chip is unaffected.
+                packed_ok = (n_sub >= 2 and config.banded_packed
+                             and not (config.interpret and n_sub >= 5))
+                if s_len >= q_len and packed_ok:
+                    # packed-field kernel: n_sub subjects per band register
+                    # (identical scores; ~n_sub x fewer vector ops/cell).
+                    # Pad the shard's subject count to the chunk multiple;
+                    # pad rows are PAD_CODE subjects whose scores are
+                    # sliced off before they reach the result writer.
+                    S = scodes.shape[0]
+                    mult = n_sub * banded_packed.LANES
+                    Sp = -(-S // mult) * mult
+                    sc = (jnp.pad(scodes, ((0, Sp - S), (0, 0)),
+                                  constant_values=pack.PAD_CODE)
+                          if Sp != S else scodes)
+                    streams = banded_packed.pack_packed_streams_jax(
+                        sc, k, q_len, n_sub)
+                    s = banded_packed.banded_stream_packed(
+                        streams, qcodes, **kw)[:, :S]
+                elif s_len >= q_len:  # fast path: funnel-shift Eq stream
                     stream = pack.pack_banded_stream_jax(scodes, k, q_len)
                     s = banded_ops.banded_stream(stream, qcodes, **kw)
                 elif 2 * k <= 63:  # shorter subjects: dual-stream funnel

@@ -294,6 +294,18 @@ def banded_stream_packed(streams, queries, *, q_len: int, s_len: int, k: int,
     Q, m = queries.shape
     if S_sub % LANES:
         raise ValueError(f"chunk subject count {S_sub} must be a multiple of {LANES}")
+    if interpret and n_sub >= 5:
+        # XLA CPU's algebraic simplifier livelocks ("circular simplification
+        # loop", algebraic_simplifier.cc) on the inlined >=5-field eq/update/
+        # epilogue network that interpret mode feeds it — the real Mosaic
+        # path is unaffected (measured: n_sub=6 compiles in ~3 s on-chip,
+        # bit-exact). Interpret-mode callers (tests) use banded_packed_xla
+        # or an n_sub <= 4 geometry instead.
+        raise ValueError(
+            f"interpret mode supports n_sub <= 4 (got {n_sub}): the XLA CPU "
+            "simplifier livelocks on wider packed networks; use "
+            "banded_packed_xla for this geometry on CPU"
+        )
     if unroll is None:
         unroll = 1 if interpret else 16
     rows = S_sub // LANES

@@ -204,6 +204,12 @@ class PipelineConfig:
     # planes, at ~2 extra compare ops per cross-word add. Identical scores;
     # A/B numbers in docs/PERF.md.
     bitpal_carry: bool = False
+    # Subject-interleaved packed banded kernel: folds n_sub subjects' bands
+    # into each 64-bit register pair where the band is narrow enough
+    # (ops/banded_packed.py; n_sub = 3 at the k=8/150bp headline).
+    # Identical scores; auto-falls back to the stream kernel where packing
+    # does not apply.
+    banded_packed: bool = True
 
 
 class _ReaderFailed:

@@ -116,6 +116,23 @@ def main():
         check(f"banded peq-carry {label}",
               banded.banded(lo, hi, inj, qbd, q_len=mq, s_len=nb, k=k), want)
 
+    # packed-field banded (subject-interleaved bands): the CPU suite can
+    # only interpret n_sub <= 4 (XLA CPU simplifier livelock on wider
+    # networks), so the n_sub = 5/6 Mosaic compiles are validated HERE.
+    from bgsa_tpu.ops import banded_packed
+
+    for (mp, np_, kp) in ((150, 150, 8), (100, 100, 4), (72, 72, 5)):
+        n_sub = banded_packed.packed_subbands(mp, np_, kp)
+        qp = rng.integers(0, 4, size=(2, mp)).astype(np.int32)
+        sp = rng.integers(0, 4, size=(n_sub * 128, np_))
+        sp[:40, :mp] = qp[0][: min(mp, np_)]
+        streams = jax.device_put(np.asarray(banded_packed.pack_packed_streams_jax(
+            np.asarray(sp, np.int32), kp, mp, n_sub)))
+        check(f"banded packed n_sub={n_sub} (k={kp})",
+              banded_packed.banded_stream_packed(
+                  streams, jax.device_put(qp), q_len=mp, s_len=np_, k=kp),
+              np.stack([banded_scores(qi, sp, kp) for qi in qp]))
+
     if failures:
         print("\nFAILURES:", failures)
         return 1

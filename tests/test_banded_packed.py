@@ -48,8 +48,12 @@ def test_xla_twin_matches_bitport(rng, m, n, k):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("m,n,k", [(150, 150, 8), (150, 158, 8), (100, 100, 4)])
+@pytest.mark.parametrize("m,n,k", [(150, 150, 8), (150, 158, 8), (72, 76, 4)])
 def test_pallas_matches_stream_kernel(rng, m, n, k):
+    # n_sub capped at 4 here: interpret mode rejects wider packings (the
+    # XLA CPU simplifier livelocks on the inlined network — see
+    # banded_stream_packed); n_sub = 5/6 ride banded_packed_xla below and
+    # the on-chip scripts/tpu_parity.py Mosaic check.
     n_sub = bp.packed_subbands(m, n, k)
     S = n_sub * 256  # two lane rows per chunk
     q, s = make_case(rng, 3, m, S, n, k)
@@ -110,6 +114,65 @@ def test_short_query_no_checkpoint(rng):
     streams = bp.pack_packed_streams_jax(np.asarray(s, np.int32), k, m, n_sub)
     got = np.asarray(bp.banded_packed_xla(streams, q, q_len=m, s_len=n, k=k))
     want = np.array([banded_ref.banded_scores(qi, s, k) for qi in q])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_routes_packed(rng):
+    """BandedEngine routes eligible geometries to the packed kernel (with
+    shard padding to the n_sub*128 chunk multiple) and produces scores
+    identical to the stream-kernel path and the golden model."""
+    from bgsa_tpu.banded_pipeline import BandedEngine
+    from bgsa_tpu.pipeline import PipelineConfig
+
+    m, n, k = 150, 150, 8
+    q = rng.integers(0, 4, size=(2, m)).astype(np.int32)
+    # 256 subjects: NOT a multiple of n_sub*128 = 384 -> exercises padding
+    s = rng.integers(0, 4, size=(256, n)).astype(np.uint8)
+    on = BandedEngine(k, PipelineConfig(backend="pallas", interpret=True))
+    off = BandedEngine(k, PipelineConfig(backend="pallas", interpret=True,
+                                         banded_packed=False))
+    got = np.asarray(on.scores(q, s))
+    np.testing.assert_array_equal(got, np.asarray(off.scores(q, s)))
+    want = np.array([banded_ref.banded_scores(qi, s, k) for qi in q],
+                    dtype=np.int8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_interpret_rejects_wide_packing(rng):
+    # n_sub >= 5 in interpret mode: loud error (XLA CPU simplifier
+    # livelock), and the engine silently falls back to the stream kernel.
+    from bgsa_tpu.banded_pipeline import BandedEngine
+    from bgsa_tpu.pipeline import PipelineConfig
+
+    m, n, k = 100, 100, 4
+    assert bp.packed_subbands(m, n, k) == 6
+    q = rng.integers(0, 4, size=(1, m)).astype(np.int32)
+    s = np.asarray(rng.integers(0, 4, size=(6 * 128, n)), np.int32)
+    streams = bp.pack_packed_streams_jax(s, k, m, 6)
+    with pytest.raises(ValueError, match="interpret mode supports"):
+        bp.banded_stream_packed(streams, q, q_len=m, s_len=n, k=k,
+                                interpret=True)
+    eng = BandedEngine(k, PipelineConfig(backend="pallas", interpret=True))
+    got = np.asarray(eng.scores(q, s[:256].astype(np.uint8)))
+    want = np.array([banded_ref.banded_scores(qi, s[:256], k) for qi in q],
+                    dtype=np.int8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_packed_ineligible_geometry_unchanged(rng):
+    # wide band (k=15 at equal length packs 2; k=16 -> pitch 34 -> 1 field):
+    # the engine must silently ride the stream kernel
+    from bgsa_tpu.banded_pipeline import BandedEngine
+    from bgsa_tpu.pipeline import PipelineConfig
+
+    m, n, k = 80, 80, 16
+    assert bp.packed_subbands(m, n, k) == 0
+    q = rng.integers(0, 4, size=(1, m)).astype(np.int32)
+    s = rng.integers(0, 4, size=(128, n)).astype(np.uint8)
+    eng = BandedEngine(k, PipelineConfig(backend="pallas", interpret=True))
+    got = np.asarray(eng.scores(q, s))
+    want = np.array([banded_ref.banded_scores(qi, s, k) for qi in q],
+                    dtype=np.int8)
     np.testing.assert_array_equal(got, want)
 
 
