@@ -272,15 +272,23 @@ def run_lines(only=None):
         try:
             note("banded: packing streams")
             k, nb = 8, 150
-            Sb, Qb = (65536, 8) if on_tpu else (1024, 2)
+            from bgsa_tpu.ops import banded_packed
+
+            n_sub = banded_packed.packed_subbands(nb, nb, k)  # 3 at k=8
+            Sb, Qb = ((65536 // (n_sub * 128)) * n_sub * 128, 8) if on_tpu \
+                else (1024, 2)
             qb, sb = filter_mix_dataset(rng, Qb, Sb, nb)
             qbd = jax.device_put(qb)
             bkw = dict(q_len=nb, s_len=nb, k=k)
             if on_tpu:
-                stream = jax.device_put(np.asarray(
-                    jax.jit(pack.pack_banded_stream_jax, static_argnums=(1, 2))(sb, k, nb)
-                ))
-                run_b = lambda q: banded.banded_stream(stream, q, **bkw)
+                # the engine's TPU route: subject-interleaved packed bands
+                # (n_sub subjects per 64-bit register pair; bit-identical,
+                # +26% over the stream kernel — docs/PERF.md)
+                streams = jax.device_put(np.asarray(jax.jit(
+                    banded_packed.pack_packed_streams_jax,
+                    static_argnums=(1, 2, 3))(sb, k, nb, n_sub)))
+                run_b = lambda q: banded_packed.banded_stream_packed(
+                    streams, q, **bkw)
             else:
                 il, ih, inj = map(jax.device_put, pack.pack_banded(sb, k, nb))
                 run_b = lambda q: banded.banded_xla(il, ih, inj, q, **bkw)

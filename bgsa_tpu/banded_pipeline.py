@@ -67,12 +67,13 @@ class BandedEngine:
                 kw["interpret"] = config.interpret
                 if config.rows_per_block:
                     kw["rows_per_block"] = config.rows_per_block
-                # interpret mode (tests/debug) caps packed fields at 4: the
-                # XLA CPU simplifier livelocks on wider inlined networks
-                # (see ops/banded_packed.banded_stream_packed); Mosaic on
-                # the chip is unaffected.
+                # interpret mode (tests/debug) caps packed fields at 3: the
+                # XLA CPU simplifier livelocks on >= 5 inlined fields and
+                # crawls (8+ min compiles) on 4 once the packers fuse into
+                # the same module; Mosaic on the chip is unaffected (any
+                # n_sub compiles in seconds — scripts/tpu_parity.py).
                 packed_ok = (n_sub >= 2 and config.banded_packed
-                             and not (config.interpret and n_sub >= 5))
+                             and not (config.interpret and n_sub >= 4))
                 if s_len >= q_len and packed_ok:
                     # packed-field kernel: n_sub subjects per band register
                     # (identical scores; ~n_sub x fewer vector ops/cell).

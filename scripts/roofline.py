@@ -149,6 +149,45 @@ def ops_banded_stream(q_len=150, s_len=150, k=8):
     return count_alu(jx.jaxpr)
 
 
+def ops_banded_packed(q_len=150, s_len=150, k=8):
+    """Column ops of the subject-interleaved packed kernel; one column
+    serves n_sub subjects per lane element."""
+    import jax
+    import jax.numpy as jnp
+    from bgsa_tpu.ops import banded_packed as bp
+
+    (h, band_down, max_err, pitch, n_sub, band64, xsm64, ones64,
+     tops64) = bp._consts(q_len, s_len, k)
+    consts = (*bp._split64(band64), *bp._split64(xsm64), *bp._split64(ones64))
+    bandmask32 = jnp.uint32((1 << (band_down + 1)) - 1)
+    Wst = (s_len + 2 * k + 31) // 32 + 2
+
+    def col(stream, t, c, *state):
+        w = t // 32
+        b = (t % 32).astype(jnp.uint32)
+        lo = jnp.zeros(TILE, jnp.uint32)
+        hi = jnp.zeros(TILE, jnp.uint32)
+        for j in range(n_sub):
+            b0 = stream[j, c, w]
+            b1 = stream[j, c, w + 1]
+            win = ((b0 >> b) | ((b1 << (jnp.uint32(31) - b)) << 1)) & bandmask32
+            o = pitch * j
+            if o == 0:
+                lo = win
+            elif o < 32:
+                lo = lo | (win << o)
+                if o + band_down >= 32:
+                    hi = hi | (win >> (32 - o))
+            else:
+                hi = hi | (win << (o - 32))
+        return bp._packed_update(state, lo, hi, consts, scored=True)
+
+    stream = jnp.zeros((n_sub, 5, Wst) + TILE, jnp.uint32)
+    z = jnp.zeros(TILE, jnp.uint32)
+    jx = jax.make_jaxpr(col)(stream, jnp.int32(40), jnp.int32(1), *([z] * 8))
+    return count_alu(jx.jaxpr), n_sub
+
+
 # ---------------------------------------------------------------- peak bench
 
 PEAK_OPS_PER_CHAIN_ITER = 7  # add, xor, shr, or, and, shl, not
@@ -274,6 +313,20 @@ def measure_kernels(reps, on_tpu):
         lambda q: banded.banded_stream(
             stream, q, q_len=nb, s_len=nb, k=k, block_exit=False, **kw),
         jax.device_put(qb), 24, Qb * nb * Sb * nb)
+
+    # packed-field banded, same all-pass/no-exit protocol
+    from bgsa_tpu.ops import banded_packed as bp_mod
+
+    n_sub = bp_mod.packed_subbands(nb, nb, k)
+    Sp = (Sb // (n_sub * 128)) * n_sub * 128
+    sp = np.repeat(qb[:1], Sp, axis=0)
+    streams_p = jax.device_put(np.asarray(jax.jit(
+        bp_mod.pack_packed_streams_jax, static_argnums=(1, 2, 3))(
+            np.asarray(sp, np.int32), k, nb, n_sub)))
+    out["banded_packed"] = meas(
+        lambda q: bp_mod.banded_stream_packed(
+            streams_p, q, q_len=nb, s_len=nb, k=k, block_exit=False, **kw),
+        jax.device_put(qb), 24, Qb * nb * Sp * nb)
     return out
 
 
@@ -292,6 +345,7 @@ def main():
     c_31 = ops_myers_31bit(W31)
     c_bp, nbits = ops_bitpal_packed(W31)
     c_bd = ops_banded_stream()
+    c_bdp, n_sub = ops_banded_packed()
     counts = {
         # (ops/column, BILLED cells per column) — billed = the real subject
         # positions (500), the same unit the measured GCUPS uses, so the
@@ -303,11 +357,14 @@ def main():
         "myers_31bit": (c_31, 500),
         "bitpal_packed": (c_bp, 500),
         "banded_stream": (c_bd, 150),
+        # one packed column serves n_sub subjects -> n_sub * s_len billed
+        "banded_packed": (c_bdp, n_sub * 150),
     }
     print(f"jaxpr ALU counts: fullword/col={c_fw} ({c_fw/W32:.1f}/word), "
           f"31bit/col={c_31} ({c_31/W31:.1f}/word), "
           f"bitpal/col={c_bp} ({c_bp/W31:.1f}/word, {nbits} planes), "
-          f"banded/col={c_bd}", file=sys.stderr)
+          f"banded/col={c_bd}, banded_packed/col={c_bdp} "
+          f"({c_bdp/n_sub:.1f}/subject, n_sub={n_sub})", file=sys.stderr)
     print(f"skipped (non-ALU) primitives seen: {sorted(SKIPPED)}", file=sys.stderr)
 
     print("measuring VPU practical peak ...", file=sys.stderr)
