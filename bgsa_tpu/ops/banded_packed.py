@@ -169,7 +169,7 @@ def _latch(state, thr, pitch: int, n_sub: int, tops64: int):
 
 
 def _packed_kernel(q_ref, stream_ref, out_ref, *, q_len, s_len, k, unroll,
-                   block_exit: bool = True):
+                   block_exit: bool = True, static_cols: bool = False):
     h, band_down, max_err, pitch, n_sub, band64, xsm64, ones64, tops64 = \
         _consts(q_len, s_len, k)
     R, L = stream_ref.shape[-2], stream_ref.shape[-1]
@@ -238,7 +238,23 @@ def _packed_kernel(q_ref, stream_ref, out_ref, *, q_len, s_len, k, unroll,
         all_dead = jnp.all((state[6] == top_lo) & (state[7] == top_hi))
         return jnp.logical_and(i < nb, jnp.logical_not(all_dead))
 
-    if block_exit:
+    if static_cols:
+        # Fully static unrolling: every funnel-shift amount, window word and
+        # latch position becomes a compile-time constant (no fori/while at
+        # all), giving up the whole-block early exit. Measured and REJECTED
+        # as a default (scripts/exp_banded_packed_static.py: +1.4-3.7% mix,
+        # -10 to -11% garbage — unlike the stream kernel, where the same
+        # surgery bought +11-15%; docs/PERF.md "Roofline"); kept as an A/B
+        # probe. Outcome-neutral: the exit only skips columns whose fields
+        # are all latched dead, and dead flags are sticky, so computing
+        # them anyway changes no score. Latch points match the loop path's.
+        for i in range(nb):
+            base = head_end + i * BATCH_COLS
+            for j in range(BATCH_COLS):
+                state = column(base + j, state)
+            state = _latch(state, jnp.int32((i + 1) * BATCH_COLS - h - 1),
+                           pitch, n_sub, tops64)
+    elif block_exit:
         _, state = lax.while_loop(batch_cond, batch_body, (jnp.int32(0), state))
     else:
         state = lax.fori_loop(
@@ -272,11 +288,12 @@ def _packed_kernel(q_ref, stream_ref, out_ref, *, q_len, s_len, k, unroll,
 @functools.partial(
     jax.jit,
     static_argnames=("q_len", "s_len", "k", "rows_per_block", "unroll",
-                     "interpret", "block_exit"),
+                     "interpret", "block_exit", "static_cols"),
 )
 def banded_stream_packed(streams, queries, *, q_len: int, s_len: int, k: int,
                          rows_per_block: int = 64, unroll: int | None = None,
-                         interpret: bool = False, block_exit: bool = True):
+                         interpret: bool = False, block_exit: bool = True,
+                         static_cols: bool = False):
     """Packed-field Pallas backend on per-chunk Eq bit-streams.
 
     streams: (n_sub, 5, W, S_sub) uint32 — pack.pack_banded_stream_jax per
@@ -306,6 +323,12 @@ def banded_stream_packed(streams, queries, *, q_len: int, s_len: int, k: int,
             "simplifier livelocks on wider packed networks; use "
             "banded_packed_xla for this geometry on CPU"
         )
+    if interpret and static_cols:
+        # The fully-static inline network is the HLO simplifier's worst
+        # shape (CLAUDE.md: a static n_sub=3 m=32 step took > 600 s on the
+        # CPU backend); the option is Mosaic-only.
+        raise ValueError("static_cols is a Mosaic (on-chip) option; "
+                         "interpret mode would livelock the XLA CPU simplifier")
     if unroll is None:
         unroll = 1 if interpret else 16
     rows = S_sub // LANES
@@ -320,7 +343,7 @@ def banded_stream_packed(streams, queries, *, q_len: int, s_len: int, k: int,
     out = pl.pallas_call(
         functools.partial(
             _packed_kernel, q_len=q_len, s_len=s_len, k=k,
-            block_exit=block_exit,
+            block_exit=block_exit, static_cols=static_cols,
             unroll=max(u for u in (1, 2, 4, 8, 16, 32)
                        if u <= max(1, min(unroll, 32))),
         ),

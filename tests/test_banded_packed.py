@@ -176,6 +176,20 @@ def test_engine_packed_ineligible_geometry_unchanged(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_static_cols_is_mosaic_only(rng):
+    # static_cols (the measured-and-rejected full-unroll A/B probe) feeds
+    # the XLA CPU simplifier its livelock shape in interpret mode: loud
+    # rejection instead of a hung compile. On-chip use is exercised by
+    # scripts/exp_banded_packed_static.py (bit-exact gate there).
+    m, n, k = 150, 150, 8
+    q = rng.integers(0, 4, size=(1, m)).astype(np.int32)
+    s = np.asarray(rng.integers(0, 4, size=(3 * 128, n)), np.int32)
+    streams = bp.pack_packed_streams_jax(s, k, m, 3)
+    with pytest.raises(ValueError, match="Mosaic"):
+        bp.banded_stream_packed(streams, q, q_len=m, s_len=n, k=k,
+                                interpret=True, static_cols=True)
+
+
 def test_wrapper_validates_chunks(rng):
     m, n, k = 150, 150, 8
     q = rng.integers(0, 4, size=(1, m)).astype(np.int32)
