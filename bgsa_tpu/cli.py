@@ -56,9 +56,11 @@ def align_main(argv=None) -> int:
     p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=None,
                    help="packed bit-plane BitPAl representation (same scores; default on)")
     p.add_argument("--carry", action="store_true",
-                   help="full-32-bit-word packed BitPAl with compare-carry "
-                        "adds (the reference KNC port's hardware-adc analogue; "
-                        "same scores, A/B numbers in docs/PERF.md)")
+                   help="full-32-bit-word BitPAl with compare-carry adds "
+                        "(the reference KNC port's hardware-adc analogue, on "
+                        "either representation — combine with --no-packed "
+                        "for the unpacked carry path; same scores, A/B "
+                        "numbers in docs/PERF.md)")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted run (skip completed buckets)")
     p.add_argument("--host", default=None, metavar="I:N",
@@ -192,40 +194,24 @@ def align_main(argv=None) -> int:
               file=sys.stderr)
         return 1
     if args.carry:
-        # Loud rejection beats a silent no-op (the carry layout only exists
-        # on the packed BitPAl path; unit-cost schemes run Myers kernels,
+        # Loud rejection beats a silent no-op (the carry layout exists on
+        # both BitPAl representations; unit-cost schemes run Myers kernels,
         # whose full-word TPU formulation is already the default).
-        if not args.packed:
-            print("error: --carry needs the packed BitPAl path (drop "
-                  "--no-packed); the non-packed kernel is 31-bit only",
-                  file=sys.stderr)
-            return 1
         if args.threshold is not None or Scoring(
             args.match, args.mismatch, args.gap
         ).is_unit:
-            print("error: --carry applies to packed BitPAl scoring schemes; "
+            print("error: --carry applies to BitPAl scoring schemes; "
                   "this run selects a Myers/banded kernel (unit-cost or -k), "
                   "whose full-word formulation is already the TPU default",
                   file=sys.stderr)
-            return 1
-        from .schemes import normalize
-
-        try:
-            ns = normalize(Scoring(args.match, args.mismatch, args.gap))
-        except ValueError:
-            ns = None  # the run itself will report the invalid scheme
-        if ns is not None and not pl_mod.packed_carry_applies(ns, args.packed):
-            # same predicate Engine.word_bits routes on — no drift
-            print("error: --carry: this scheme falls outside the packed "
-                  "decode's range (needs M <= 2I - 2G + 1 after GCD "
-                  "normalization) and would run the non-packed 31-bit "
-                  "kernel", file=sys.stderr)
             return 1
     cfg_kwargs = {
         "backend": args.backend,
         "local_shards": args.shards,
         "bitpal_packed": args.packed,
-        "bitpal_carry": args.carry,
+        # store_true: absent means "auto" (measured-best layout per route),
+        # not "force the 31-bit layout"
+        "bitpal_carry": True if args.carry else None,
         "host_threads": args.threads,
     }
     if args.bucket_size:

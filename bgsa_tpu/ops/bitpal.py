@@ -11,8 +11,13 @@ unrolls into C source become Python loops emitting jnp ops.
 Conventions (mirroring the generated kernels' bit layout so scores agree
 exactly): uint32 words, 31 usable bits (top bit reserved for the in-word add
 carry), per-column cross-word carries for the run-propagation adds and the
-one-row shifts. Requires M > I > 2G (the value-class lattice the algorithm
-assumes; schemes.normalize enforces it).
+one-row shifts. ``word_bits=32`` selects the full-word compare-carry layout
+— the unpacked half of the generator's "carry" path
+(``BitPAlGenerator.genKernel:39-64`` x KNCArch ``isCarry``), completing G8's
+six emission paths with TPU answers (the packed half is
+``bitpal_packed word_bits=32``; A/B numbers in docs/PERF.md). Requires
+M > I > 2G (the value-class lattice the algorithm assumes;
+schemes.normalize enforces it).
 
 The final score is S[n][m] = G*m + sum_i DV[i][m]; instead of the reference's
 bit-serial walk we use a per-plane popcount (lax.population_count), masked to
@@ -70,19 +75,45 @@ class BitpalParams:
         return range(self.minv, self.maxv + 1)
 
 
-def _bitpal_column(planes, matches_w, p: BitpalParams):
+def _bitpal_column(planes, matches_w, p: BitpalParams,
+                   word_bits: int = WORD_BITS):
     """One query column over all words.
 
     planes: dict value -> list of per-word arrays (vertical-delta indicators).
     matches_w: list of per-word match bitvectors for this column's character.
     Returns the new planes dict.
+
+    ``word_bits=32`` is the full-word compare-carry variant — the unpacked
+    twin of ``bitpal_packed``'s KNC hardware-adc analogue (the generator's
+    unpacked "carry" path, ``BitPAlGenerator.genKernel:39-64`` x KNCArch):
+    all 32 bits hold subject rows, the run-propagation adds recover their
+    cross-word carry with unsigned compares (``sum < addend``) instead of
+    the reserved bit, and the one-row shifts extract bit 31. Identical
+    scores either way.
     """
     W = len(matches_w)
+    full = word_bits == 32
     minv, midv, maxv = p.minv, p.midv, p.maxv
-    CM = jnp.uint32((1 << WORD_BITS) - 1)
+    CM = jnp.uint32((1 << word_bits) - 1 if not full else 0xFFFFFFFF)
     zeros = jnp.zeros_like(matches_w[0])
 
     overflow = {}
+
+    def add3(a, b, key):
+        """a + b + overflow[key] with the cross-word carry captured back
+        into ``overflow[key]``."""
+        cin = overflow.get(key, zeros)
+        if full:
+            s1 = a + b
+            s = s1 + cin
+            # carry-out of the 32-bit chain: the partial adds cannot both
+            # wrap, so OR of the compares is exact.
+            overflow[key] = ((s1 < a) | (s < s1)).astype(jnp.uint32)
+        else:
+            s = a + b + cin
+            overflow[key] = s >> word_bits
+        return s
+
     prevbit = {v: zeros for v in p.values}
     out = {v: [] for v in p.values}
 
@@ -95,9 +126,8 @@ def _bitpal_column(planes, matches_w, p: BitpalParams):
         dv_shift = {}
         dvsnm = {}  # dv_<v>_shift & not_matches
         init_max = dh[minv] & matches
-        s = init_max + dh[minv] + overflow.get(0, zeros)
+        s = add3(init_max, dh[minv], 0)
         dv_shift[maxv] = (s ^ dh[minv] ^ init_max) & CM
-        overflow[0] = s >> WORD_BITS
         remain = (init_max & CM) ^ dh[minv]
         dv_max_or_match = dv_shift[maxv] | matches
 
@@ -107,13 +137,14 @@ def _bitpal_column(planes, matches_w, p: BitpalParams):
             init_i = dh[cnt] & dv_max_or_match
             for x in range(1, maxv - i):
                 init_i = init_i | (dh[cnt - x] & dvsnm[maxv - x])
-            init_val = (init_i << 1) | prevbit[i]
-            prevbit[i] = init_val >> WORD_BITS
-            init_val = init_val & CM
-            s = init_val + remain + overflow.get(oi, zeros)
+            # bit that leaves the word on the one-row shift (the 31-bit
+            # layout's bit 30; bit 31 with full words)
+            nxt = (init_i & CM) >> (word_bits - 1)
+            init_val = ((init_i << 1) | prevbit[i]) & CM
+            prevbit[i] = nxt
+            s = add3(init_val, remain, oi)
             dv_shift[i] = s ^ remain
             dvsnm[i] = dv_shift[i] & not_matches
-            overflow[oi] = s >> WORD_BITS
             oi += 1
 
         if maxv > midv + 1:
@@ -133,7 +164,7 @@ def _bitpal_column(planes, matches_w, p: BitpalParams):
                 dhi -= 1
             init_i = init_i | (dh[dhi] & dv_not_hi)
             dv_shift[i] = (init_i << 1) | prevbit[i]
-            prevbit[i] = (init_i & CM) >> (WORD_BITS - 1)
+            prevbit[i] = (init_i & CM) >> (word_bits - 1)
             index += 1
 
         acc = dv_shift[maxv]
@@ -195,10 +226,11 @@ def _valid_masks(read_len: int, W: int, word_bits: int = WORD_BITS):
     return masks
 
 
-def _global_score(planes, p: BitpalParams, read_len: int, q_len: int, factor: int):
+def _global_score(planes, p: BitpalParams, read_len: int, q_len: int, factor: int,
+                  word_bits: int = WORD_BITS):
     """S[n][m] = G*m + sum of final-column vertical deltas (weighted popcount)."""
     W = len(planes[p.minv])
-    masks = _valid_masks(read_len, W)
+    masks = _valid_masks(read_len, W, word_bits)
     score = jnp.full_like(planes[p.minv][0], p.gap * q_len, jnp.int32)
     score = score.astype(jnp.int32)
     for v in p.values:
@@ -212,7 +244,8 @@ def _global_score(planes, p: BitpalParams, read_len: int, q_len: int, factor: in
     return score * jnp.int32(factor)
 
 
-def _semiglobal_score(planes, p: BitpalParams, read_len: int, q_len: int, factor: int):
+def _semiglobal_score(planes, p: BitpalParams, read_len: int, q_len: int, factor: int,
+                      word_bits: int = WORD_BITS):
     """max over subject prefixes: bit-serial walk down the final column."""
     W = len(planes[p.minv])
     one = jnp.uint32(1)
@@ -220,7 +253,7 @@ def _semiglobal_score(planes, p: BitpalParams, read_len: int, q_len: int, factor
     score = score.astype(jnp.int32)
     best = score
     for w in range(W):
-        bits = min(read_len - w * WORD_BITS, WORD_BITS)
+        bits = min(read_len - w * word_bits, word_bits)
         adds = {v: planes[v][w] for v in p.values}
         for b in range(max(bits, 0)):
             delta = jnp.zeros_like(score)
@@ -233,8 +266,9 @@ def _semiglobal_score(planes, p: BitpalParams, read_len: int, q_len: int, factor
     return best * jnp.int32(factor)
 
 
-def _init_planes(p: BitpalParams, shape, W, semi_global: bool):
-    CM = jnp.uint32((1 << WORD_BITS) - 1)
+def _init_planes(p: BitpalParams, shape, W, semi_global: bool,
+                 word_bits: int = WORD_BITS):
+    CM = jnp.uint32((1 << word_bits) - 1 if word_bits < 32 else 0xFFFFFFFF)
     boundary = 0 if semi_global else p.minv
     planes = {}
     for v in p.values:
@@ -245,11 +279,15 @@ def _init_planes(p: BitpalParams, shape, W, semi_global: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("match", "mismatch", "gap", "read_len", "factor", "semi_global"),
+    static_argnames=("match", "mismatch", "gap", "read_len", "factor",
+                     "semi_global", "word_bits"),
 )
 def bitpal_xla(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
-               factor: int = 1, semi_global: bool = False):
-    """Portable backend. eq (5, W, S) uint32 (31-bit packing), queries (Q, m)."""
+               factor: int = 1, semi_global: bool = False,
+               word_bits: int = WORD_BITS):
+    """Portable backend. eq (5, W, S) uint32 (packed to ``word_bits`` usable
+    bits per word — 31 reserved-carry default, 32 = compare-carry),
+    queries (Q, m)."""
     p = BitpalParams(match, mismatch, gap)
     C, W, S = eq.shape
     Q, m = queries.shape
@@ -259,33 +297,34 @@ def bitpal_xla(eq, queries, *, match: int, mismatch: int, gap: int, read_len: in
         def step(carry, c):
             eq_c = lax.dynamic_index_in_dim(eq, c, axis=0, keepdims=False)
             planes = {v: [carry[v - p.minv, w] for w in range(W)] for v in p.values}
-            new = _bitpal_column(planes, [eq_c[w] for w in range(W)], p)
+            new = _bitpal_column(planes, [eq_c[w] for w in range(W)], p, word_bits)
             stacked = jnp.stack([jnp.stack(new[v]) for v in p.values])
             return stacked, None
 
-        init = _init_planes(p, (S,), W, semi_global)
+        init = _init_planes(p, (S,), W, semi_global, word_bits)
         carry0 = jnp.stack([jnp.stack(init[v]) for v in p.values])
         final, _ = lax.scan(step, carry0, query)
         planes = {v: [final[v - p.minv, w] for w in range(W)] for v in p.values}
         if semi_global:
-            return _semiglobal_score(planes, p, read_len, m, factor)
-        return _global_score(planes, p, read_len, m, factor)
+            return _semiglobal_score(planes, p, read_len, m, factor, word_bits)
+        return _global_score(planes, p, read_len, m, factor, word_bits)
 
     return jax.vmap(one_query)(queries)
 
 
-def _kernel(q_ref, eq_ref, out_ref, *, p, read_len, q_len, factor, semi_global, unroll):
+def _kernel(q_ref, eq_ref, out_ref, *, p, read_len, q_len, factor, semi_global,
+            unroll, word_bits=WORD_BITS):
     W = eq_ref.shape[1]
 
     def column(i, carry):
         c = q_ref[0, 0, i]
         eq_c = eq_ref[c]
         planes = {v: [carry[v - p.minv, w] for w in range(W)] for v in p.values}
-        new = _bitpal_column(planes, [eq_c[w] for w in range(W)], p)
+        new = _bitpal_column(planes, [eq_c[w] for w in range(W)], p, word_bits)
         return jnp.stack([jnp.stack(new[v]) for v in p.values])
 
     tile = (eq_ref.shape[2], eq_ref.shape[3])
-    init = _init_planes(p, tile, W, semi_global)
+    init = _init_planes(p, tile, W, semi_global, word_bits)
     carry0 = jnp.stack([jnp.stack(init[v]) for v in p.values])
 
     # Column unrolling (see myers_pallas): overlaps the next column's Eq load
@@ -300,21 +339,22 @@ def _kernel(q_ref, eq_ref, out_ref, *, p, read_len, q_len, factor, semi_global, 
         final = column(i, final)
     planes = {v: [final[v - p.minv, w] for w in range(W)] for v in p.values}
     if semi_global:
-        out_ref[0] = _semiglobal_score(planes, p, read_len, q_len, factor)
+        out_ref[0] = _semiglobal_score(planes, p, read_len, q_len, factor, word_bits)
     else:
-        out_ref[0] = _global_score(planes, p, read_len, q_len, factor)
+        out_ref[0] = _global_score(planes, p, read_len, q_len, factor, word_bits)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "match", "mismatch", "gap", "read_len", "factor", "semi_global",
-        "rows_per_block", "unroll", "interpret",
+        "rows_per_block", "unroll", "interpret", "word_bits",
     ),
 )
 def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
            factor: int = 1, semi_global: bool = False, rows_per_block: int = 16,
-           unroll: int | None = None, interpret: bool = False):
+           unroll: int | None = None, interpret: bool = False,
+           word_bits: int = WORD_BITS):
     """Pallas TPU backend. S % 128 == 0; returns (Q, S) int32 scores.
 
     Default rows_per_block is smaller than the Myers kernels': the non-packed
@@ -338,6 +378,7 @@ def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
         return bitpal_xla(
             eq, queries, match=match, mismatch=mismatch, gap=gap,
             read_len=read_len, factor=factor, semi_global=semi_global,
+            word_bits=word_bits,
         )
     r, rows_p = blockutil.choose_rows(rows, rows_per_block, budget_rows)
     nb = rows_p // r
@@ -347,6 +388,7 @@ def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
         functools.partial(
             _kernel, p=p, read_len=read_len, q_len=m, factor=factor,
             semi_global=semi_global, unroll=max(1, min(unroll, m)),
+            word_bits=word_bits,
         ),
         grid=(nb, Q),
         in_specs=[

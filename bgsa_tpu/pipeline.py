@@ -96,15 +96,13 @@ def packed_carry_applies(scheme: NormalizedScheme,
     """Whether the 32-bit compare-carry layout can serve this scheme — the
     single predicate behind Engine.word_bits's routing and the CLI's
     --carry validation (one definition keeps the rejection message and the
-    engine's actual kernel choice in lockstep)."""
-    if scheme.algorithm is not Algorithm.BITPAL or not bitpal_packed:
-        return False
-    from .ops import bitpal as _bitpal
-    from .ops import bitpal_packed as _bp  # don't shadow the bool param
-
-    return _bp.packed_supported(
-        _bitpal.BitpalParams(scheme.match, scheme.mismatch, scheme.gap)
-    )
+    engine's actual kernel choice in lockstep). Both BitPAl representations
+    now have a compare-carry variant (packed and non-packed — the
+    generator's two ``isCarry`` emission paths), so the layout applies to
+    every BitPAl scheme regardless of which representation the run selects;
+    only Myers/banded runs (whose full-word formulation is already the TPU
+    default) reject ``--carry``."""
+    return scheme.algorithm is Algorithm.BITPAL
 
 
 def _pack_threads(config) -> int:
@@ -198,12 +196,15 @@ class PipelineConfig:
     # Packed bit-plane BitPAl: identical scores, +18% over non-packed on v5e
     # (falls back to non-packed where the packed decode doesn't apply).
     bitpal_packed: bool = True
-    # Full 32-bit-word packed BitPAl with compare-carry inter-word adds —
-    # the TPU analogue of the reference KNC port's hardware add-with-carry
+    # Full 32-bit-word BitPAl with compare-carry inter-word adds — the TPU
+    # analogue of the reference KNC port's hardware add-with-carry
     # (original/BGSA_KNC/align_core.c:1153): 1/31 fewer words and denser
-    # planes, at ~2 extra compare ops per cross-word add. Identical scores;
-    # A/B numbers in docs/PERF.md.
-    bitpal_carry: bool = False
+    # planes, at ~2 extra compare ops per cross-word add. Exists on both
+    # representations; identical scores either way. None = auto, the
+    # measured-best layout per route (docs/PERF.md #10: packed 31-bit wins
+    # by 2%, unpacked 32-bit wins by 6%); True/False force 32/31 bits for
+    # A/Bs.
+    bitpal_carry: bool | None = None
     # Subject-interleaved packed banded kernel: folds n_sub subjects' bands
     # into each 64-bit register pair where the band is narrow enough
     # (ops/banded_packed.py; n_sub = 3 at the k=8/150bp headline).
@@ -258,15 +259,28 @@ class Engine:
         # Pallas path uses it for every Myers mode; the XLA twin keeps the
         # reference's 31-bit global kernel. BitPAl's full-word option is the
         # compare-carry variant (config.bitpal_carry, the KNC hw-adc
-        # analogue) — only on the packed path, where it applies.
+        # analogue) on either representation; bitpal_carry=None picks the
+        # measured-best layout for the route the engine will actually take
+        # (packed: 31-bit wins by 2%; unpacked: 32-bit wins by 6% — the
+        # unpacked plane networks are word-count-dominated, docs/PERF.md).
         if self.scheme.algorithm is Algorithm.MYERS and (
             self.scheme.mode is Mode.SEMI_GLOBAL or self.backend == "pallas"
         ):
             return 32
-        if self.config.bitpal_carry and packed_carry_applies(
-            self.scheme, self.config.bitpal_packed
-        ):
-            return 32
+        if self.scheme.algorithm is Algorithm.BITPAL:
+            carry = self.config.bitpal_carry
+            if carry is None:
+                from .ops import bitpal as _bitpal
+                from .ops import bitpal_packed as _bp
+
+                packed_route = self.config.bitpal_packed and _bp.packed_supported(
+                    _bitpal.BitpalParams(
+                        self.scheme.match, self.scheme.mismatch, self.scheme.gap
+                    )
+                )
+                carry = not packed_route
+            if carry:
+                return 32
         return 31
 
     def _build_step(self, q_len: int, s_len: int, transport: str = "nib"):
@@ -285,8 +299,8 @@ class Engine:
                     semi_global=scheme.mode is Mode.SEMI_GLOBAL,
                 )
                 params = bitpal.BitpalParams(scheme.match, scheme.mismatch, scheme.gap)
+                kw["word_bits"] = word_bits
                 if config.bitpal_packed and bitpal_packed.packed_supported(params):
-                    kw["word_bits"] = word_bits
                     if self.backend == "pallas":
                         return bitpal_packed.bitpal_packed(
                             eq, qcodes, interpret=config.interpret, **kw

@@ -125,3 +125,90 @@ def test_adjacent_match_mismatch_schemes(rng, M, I, G):
     np.testing.assert_array_equal(
         np.asarray(bitpal_packed.bitpal_packed(eq, q, interpret=True, **kw)),
         want)
+
+
+@pytest.mark.parametrize("M,I,G,n", [
+    (2, -3, -5, 20), (2, -3, -5, 32), (2, -3, -5, 33), (2, -3, -5, 70),
+    (1, -1, -1, 33), (3, -1, -2, 70), (0, -2, -3, 33),
+    (9, -1, -2, 70),  # outside the packed decode's range: unpacked only
+])
+def test_unpacked_carry_variant_xla(rng, M, I, G, n):
+    """The non-packed full-32-bit compare-carry variant (the generator's
+    unpacked "carry" emission path, BitPAlGenerator.genKernel:39-64 x
+    KNCArch isCarry): identical scores to the oracle at word-boundary-
+    straddling lengths (32 fills exactly one full word; 33 forces the
+    cross-word carry chain), including a scheme the packed decode cannot
+    serve (M > 2I - 2G + 1)."""
+    q = rng.integers(0, 4, size=(2, 45)).astype(np.int32)
+    s = rng.integers(0, 4, size=(8, n))
+    eq = pack.pack_eq(s, 32)
+    got = np.asarray(
+        bitpal.bitpal_xla(eq, q, match=M, mismatch=I, gap=G, read_len=n,
+                          word_bits=32)
+    )
+    np.testing.assert_array_equal(got, oracle(q, s, M, I, G), err_msg=f"n={n}")
+
+
+def test_unpacked_carry_semiglobal_factor_and_pallas(rng):
+    from bgsa_tpu.oracle import align_scores_query_in_subject
+
+    M, I, G = 2, -3, -5
+    q = rng.integers(0, 4, size=(2, 20)).astype(np.int32)
+    s = rng.integers(0, 4, size=(128, 45))
+    s[0, 10:30] = q[0]
+    eq = pack.pack_eq(s, 32)
+    got = np.asarray(
+        bitpal.bitpal_xla(eq, q, match=M, mismatch=I, gap=G, read_len=45,
+                          word_bits=32, semi_global=True)
+    )
+    want = np.stack(
+        [align_scores_query_in_subject(qi, s, Scoring(M, I, G)) for qi in q])
+    np.testing.assert_array_equal(got, want)
+    # factor multiply + the Pallas kernel body (interpret) on the same words
+    got2 = np.asarray(
+        bitpal.bitpal(eq, q, match=M, mismatch=I, gap=G, read_len=45,
+                      word_bits=32, factor=2, interpret=True)
+    )
+    np.testing.assert_array_equal(got2, oracle(q, s, 2 * M, 2 * I, 2 * G))
+
+
+def test_engine_unpacked_carry_matches_default(rng, tmp_path):
+    """config.bitpal_carry with bitpal_packed=False routes the engine
+    through the unpacked 32-bit kernel with byte-identical output — and a
+    packed-ineligible scheme rides it too (word_bits routing no longer
+    depends on the packed decode's range)."""
+    from bgsa_tpu import pipeline as pl_mod
+    from bgsa_tpu.io import seqfile
+    from bgsa_tpu.schemes import Mode, normalize
+
+    q = rng.integers(0, 4, size=(2, 40))
+    s = rng.integers(0, 4, size=(300, 40))
+    qp, sp = str(tmp_path / "q.txt"), str(tmp_path / "s.txt")
+    seqfile.write_seq_file(qp, q)
+    seqfile.write_seq_file(sp, s)
+    for scoring in (Scoring(2, -3, -5), Scoring(9, -1, -2)):
+        scheme = normalize(scoring, Mode.GLOBAL)
+        cfg = pl_mod.PipelineConfig(backend="xla", bitpal_packed=False,
+                                    bitpal_carry=True)
+        assert pl_mod.Engine(scheme, cfg).word_bits == 32
+        # bitpal_carry=None auto-picks the measured-best layout per route:
+        # 32-bit whenever the run lands on the unpacked kernel (+6.2%,
+        # scripts/exp_bitpal_unpacked_carry.py), 31-bit on the packed one
+        auto = pl_mod.PipelineConfig(backend="xla", bitpal_packed=False)
+        assert auto.bitpal_carry is None
+        assert pl_mod.Engine(scheme, auto).word_bits == 32
+        force31 = pl_mod.PipelineConfig(backend="xla", bitpal_packed=False,
+                                        bitpal_carry=False)
+        assert pl_mod.Engine(scheme, force31).word_bits == 31
+        a, b = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+        pl_mod.run_alignment(qp, sp, a, scoring=scoring, config=force31)
+        pl_mod.run_alignment(qp, sp, b, scoring=scoring, config=cfg)
+        assert open(a, "rb").read() == open(b, "rb").read()
+    # packed-eligible scheme on the packed route keeps the 31-bit layout
+    scheme = normalize(Scoring(2, -3, -5), Mode.GLOBAL)
+    assert pl_mod.Engine(
+        scheme, pl_mod.PipelineConfig(backend="xla")).word_bits == 31
+    # ...but auto goes 32-bit when the packed decode cannot serve the scheme
+    assert pl_mod.Engine(
+        normalize(Scoring(9, -1, -2), Mode.GLOBAL),
+        pl_mod.PipelineConfig(backend="xla")).word_bits == 32

@@ -197,7 +197,9 @@ def test_cli_profile_flag(tmp_path, rng):
 
 def test_cli_carry_rejects_non_applicable(tmp_path, rng, capsys):
     """--carry must fail loudly where the carry layout cannot apply (the
-    same no-silent-ignore rule as --shards with -k)."""
+    same no-silent-ignore rule as --shards with -k). Since the unpacked
+    compare-carry variant landed (round 5), only Myers/banded runs reject
+    it — every BitPAl run (either representation, any scheme) accepts."""
     qp, sp = _write_inputs(tmp_path, rng)
     out = str(tmp_path / "o.bin")
     base = ["align", "-q", qp, "-d", sp, "-f", out, "--quiet"]
@@ -207,14 +209,14 @@ def test_cli_carry_rejects_non_applicable(tmp_path, rng, capsys):
     # banded
     assert cli.main([*base, "--carry", "-k", "4"]) == 1
     capsys.readouterr()
-    # non-packed
+    # non-packed: rides the unpacked compare-carry kernel
     assert cli.main([*base, "--carry", "-M", "2", "-I", "-3", "-G", "-5",
-                     "--no-packed"]) == 1
-    assert "--no-packed" in capsys.readouterr().err
-    # outside the packed decode's range (M > 2I - 2G + 1)
-    assert cli.main([*base, "--carry", "-M", "9", "-I", "-1", "-G", "-2"]) == 1
-    assert "packed decode" in capsys.readouterr().err
-    # applicable scheme still runs
+                     "--no-packed", "--backend", "xla"]) == 0
+    # outside the packed decode's range (M > 2I - 2G + 1): the engine falls
+    # back to non-packed, which now has its own 32-bit carry layout
+    assert cli.main([*base, "--carry", "-M", "9", "-I", "-1", "-G", "-2",
+                     "--backend", "xla"]) == 0
+    # applicable packed scheme still runs
     assert cli.main([*base, "--carry", "-M", "2", "-I", "-3", "-G", "-5",
                      "--backend", "xla"]) == 0
 
