@@ -363,8 +363,11 @@ def bitpal(eq, queries, *, match: int, mismatch: int, gap: int, read_len: int,
     p = BitpalParams(match, mismatch, gap)
     C, W, S = eq.shape
     Q, m = queries.shape
-    if unroll is None:  # tuned default; 1 in interpret mode (tests crawl otherwise)
-        unroll = 1 if interpret else 10
+    if unroll is None:  # tuned defaults; 1 in interpret mode (tests crawl
+        # otherwise). The 32-bit layout wants deeper unrolling (u20 +1.8%
+        # over u10 — scripts/exp_bitpal_unpacked_tune.py); 31-bit keeps its
+        # round-1-tuned u10.
+        unroll = 1 if interpret else (20 if word_bits == 32 else 10)
     if S % LANES:
         raise ValueError(f"subject count {S} must be a multiple of {LANES}")
     rows = S // LANES

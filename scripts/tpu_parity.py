@@ -80,6 +80,11 @@ def main():
     check("bitpal non-packed global", bitpal.bitpal(eq31, qd, **kw), want_bp)
     check("bitpal non-packed semi",
           bitpal.bitpal(eq31, qd, semi_global=True, **kw), want_bps)
+    check("bitpal non-packed 32-bit carry",
+          bitpal.bitpal(eq32, qd, word_bits=32, **kw), want_bp)
+    check("bitpal non-packed 32-bit carry semi",
+          bitpal.bitpal(eq32, qd, word_bits=32, semi_global=True, **kw),
+          want_bps)
     # other trace-time-generated networks: 3-plane packed and a scheme the
     # packed decode can't cover (non-packed fallback)
     s12 = Scoring(1, -2, -3)
