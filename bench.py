@@ -132,7 +132,8 @@ def previous_round_gcups(metric_word="unit-cost Myers"):
     return best[1] if best else None
 
 
-DEGRADED = False  # set when the TPU service is down; marks every JSON line
+DEGRADED = False  # set in the CPU fallback child; marks every JSON line
+DEGRADED_REASON = "TPU service down"  # the supervisor's actual outcome
 
 
 def note(msg):
@@ -153,8 +154,11 @@ def emit(line_id, metric, gcups, family="myers"):
     }
     if DEGRADED:
         # The round-over-round record must never ingest CPU smoke numbers
-        # as chip numbers: rewrite the label and add a machine-readable flag.
-        rec["metric"] = f"[DEGRADED: TPU service down, CPU smoke shapes] {metric}"
+        # as chip numbers: rewrite the label and add a machine-readable
+        # flag. The label carries the supervisor's actual outcome (service
+        # down / child stall / deadline / exit code / line failure) so a
+        # code or compile failure is never misattributed to an outage.
+        rec["metric"] = f"[DEGRADED: {DEGRADED_REASON}; CPU smoke shapes] {metric}"
         rec["degraded"] = True
     print(json.dumps(rec), flush=True)
 
@@ -352,8 +356,10 @@ def run_lines(only=None):
 
 
 def _child_main(argv):
-    global DEGRADED
+    global DEGRADED, DEGRADED_REASON
     DEGRADED = os.environ.get("BGSA_BENCH_DEGRADED", "") == "1"
+    DEGRADED_REASON = os.environ.get("BGSA_BENCH_DEGRADED_REASON",
+                                     DEGRADED_REASON)
     if os.environ.get("BGSA_BENCH_TEST_HANG") and not DEGRADED:
         # test hook: simulate the round-4 mid-transfer tunnel stall (the
         # fallback child is DEGRADED and must not hang, hence the guard)
@@ -448,9 +454,13 @@ def main():
         )
         note(f"measurement child finished: {outcome}; "
              f"lines emitted: {sorted(emitted) or 'none'}")
+        reason = ("TPU line failed in a live child (kernel/compile error, "
+                  "see stderr)" if outcome == "ok"
+                  else f"TPU measurement child {outcome}")
     else:
         note(f"backend init unresponsive after {PROBE_SECS:.0f} s; TPU "
              "service is down for this run")
+        reason = "TPU service down"
 
     missing = [l for l in LINE_IDS if l not in emitted]
     if not missing:
@@ -462,6 +472,7 @@ def main():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["BGSA_BENCH_DEGRADED"] = "1"
+    env["BGSA_BENCH_DEGRADED_REASON"] = reason
     # the axon PJRT plugin site must not shadow the CPU backend
     env["PYTHONPATH"] = ""
     # the CPU backend cannot tunnel-hang; silent compiles are normal there,

@@ -135,6 +135,33 @@ def _extract(lo, hi, offset: int, width: int):
     return word & mask
 
 
+def funnel_window(b0, b1, b, bandmask32):
+    """Bits [b, b+band] of the stream word pair (b0, b1) — the banded
+    kernels' funnel shift, written as two static-bounded shifts so b == 0
+    yields 0 from the high word."""
+    return ((b0 >> b) | ((b1 << (jnp.uint32(31) - b)) << 1)) & bandmask32
+
+
+def fold_window_fields(wins, pitch: int, band_down: int, zeros):
+    """OR each chunk's band window into its packed field position of a
+    (lo, hi) uint32 pair. Single definition shared by the Mosaic kernel,
+    the XLA twin, and the roofline/experiment scripts — the committed op
+    counts must describe the kernel that actually ships."""
+    lo = zeros
+    hi = zeros
+    for j, win in enumerate(wins):
+        o = pitch * j
+        if o == 0:
+            lo = win
+        elif o < 32:
+            lo = lo | (win << o)
+            if o + band_down >= 32:
+                hi = hi | (win >> (32 - o))
+        else:
+            hi = hi | (win << (o - 32))
+    return lo, hi
+
+
 def _packed_update(state, eqlo, eqhi, consts, scored: bool):
     (band_lo, band_hi, xsm_lo, xsm_hi, ones_lo, ones_hi) = consts
     vplo, vphi, vnlo, vnhi, mlo, mhi, dlo, dhi = state
@@ -182,22 +209,13 @@ def _packed_kernel(q_ref, stream_ref, out_ref, *, q_len, s_len, k, unroll,
     def eq_window(t, c):
         w = t // 32
         b = jnp.asarray(t % 32).astype(jnp.uint32)
-        lo = jnp.zeros(tile, jnp.uint32)
-        hi = jnp.zeros(tile, jnp.uint32)
-        for j in range(n_sub):
-            b0 = stream_ref[j, c, w]
-            b1 = stream_ref[j, c, w + 1]
-            win = ((b0 >> b) | ((b1 << (jnp.uint32(31) - b)) << 1)) & bandmask32
-            o = pitch * j
-            if o == 0:
-                lo = win
-            elif o < 32:
-                lo = lo | (win << o)
-                if o + band_down >= 32:
-                    hi = hi | (win >> (32 - o))
-            else:
-                hi = hi | (win << (o - 32))
-        return lo, hi
+        wins = [
+            funnel_window(stream_ref[j, c, w], stream_ref[j, c, w + 1],
+                          b, bandmask32)
+            for j in range(n_sub)
+        ]
+        return fold_window_fields(wins, pitch, band_down,
+                                  jnp.zeros(tile, jnp.uint32))
 
     def column(t, state, scored=True):
         eqlo, eqhi = eq_window(t, q_ref[0, 0, t])
@@ -385,21 +403,15 @@ def banded_packed_xla(streams, queries, *, q_len: int, s_len: int, k: int):
             b = (t % 32).astype(jnp.uint32)
             w0 = lax.dynamic_index_in_dim(flat, w, 0, keepdims=False)
             w1 = lax.dynamic_index_in_dim(flat, w + 1, 0, keepdims=False)
-            lo = jnp.zeros((S_sub,), jnp.uint32)
-            hi = jnp.zeros((S_sub,), jnp.uint32)
-            for j in range(n_sub):
-                b0 = lax.dynamic_index_in_dim(w0[j], c, 0, keepdims=False)
-                b1 = lax.dynamic_index_in_dim(w1[j], c, 0, keepdims=False)
-                win = ((b0 >> b) | ((b1 << (jnp.uint32(31) - b)) << 1)) & bandmask32
-                o = pitch * j
-                if o == 0:
-                    lo = win
-                elif o < 32:
-                    lo = lo | (win << o)
-                    if o + band_down >= 32:
-                        hi = hi | (win >> (32 - o))
-                else:
-                    hi = hi | (win << (o - 32))
+            wins = [
+                funnel_window(
+                    lax.dynamic_index_in_dim(w0[j], c, 0, keepdims=False),
+                    lax.dynamic_index_in_dim(w1[j], c, 0, keepdims=False),
+                    b, bandmask32)
+                for j in range(n_sub)
+            ]
+            lo, hi = fold_window_fields(wins, pitch, band_down,
+                                        jnp.zeros((S_sub,), jnp.uint32))
             scored = t >= k
             vplo, vphi, vnlo, vnhi, mlo, mhi, dlo, dhi = _packed_update(
                 state, lo, hi, consts, scored=True)

@@ -91,18 +91,22 @@ def _warm_executable(jax, ex, specs) -> None:
     np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def packed_carry_applies(scheme: NormalizedScheme,
-                         bitpal_packed: bool = True) -> bool:
-    """Whether the 32-bit compare-carry layout can serve this scheme — the
-    single predicate behind Engine.word_bits's routing and the CLI's
-    --carry validation (one definition keeps the rejection message and the
-    engine's actual kernel choice in lockstep). Both BitPAl representations
-    now have a compare-carry variant (packed and non-packed — the
-    generator's two ``isCarry`` emission paths), so the layout applies to
-    every BitPAl scheme regardless of which representation the run selects;
-    only Myers/banded runs (whose full-word formulation is already the TPU
-    default) reject ``--carry``."""
-    return scheme.algorithm is Algorithm.BITPAL
+def bitpal_packed_route(scheme: NormalizedScheme,
+                        bitpal_packed: bool = True) -> bool:
+    """Whether a BitPAl run rides the packed bit-plane kernel — the single
+    predicate behind Engine.word_bits's layout auto-pick AND _build_step's
+    kernel selection (one definition keeps the Eq packing width and the
+    kernel actually traced in lockstep; they disagree = wrong scores).
+    False means the run lands on the non-packed kernel (user opt-out, or a
+    scheme the packed decode cannot serve: M > 2I - 2G + 1)."""
+    if scheme.algorithm is not Algorithm.BITPAL or not bitpal_packed:
+        return False
+    from .ops import bitpal as _bitpal
+    from .ops import bitpal_packed as _bp  # don't shadow the bool param
+
+    return _bp.packed_supported(
+        _bitpal.BitpalParams(scheme.match, scheme.mismatch, scheme.gap)
+    )
 
 
 def _pack_threads(config) -> int:
@@ -270,15 +274,9 @@ class Engine:
         if self.scheme.algorithm is Algorithm.BITPAL:
             carry = self.config.bitpal_carry
             if carry is None:
-                from .ops import bitpal as _bitpal
-                from .ops import bitpal_packed as _bp
-
-                packed_route = self.config.bitpal_packed and _bp.packed_supported(
-                    _bitpal.BitpalParams(
-                        self.scheme.match, self.scheme.mismatch, self.scheme.gap
-                    )
+                carry = not bitpal_packed_route(
+                    self.scheme, self.config.bitpal_packed
                 )
-                carry = not packed_route
             if carry:
                 return 32
         return 31
@@ -298,9 +296,8 @@ class Engine:
                     read_len=s_len, factor=scheme.factor,
                     semi_global=scheme.mode is Mode.SEMI_GLOBAL,
                 )
-                params = bitpal.BitpalParams(scheme.match, scheme.mismatch, scheme.gap)
                 kw["word_bits"] = word_bits
-                if config.bitpal_packed and bitpal_packed.packed_supported(params):
+                if bitpal_packed_route(scheme, config.bitpal_packed):
                     if self.backend == "pallas":
                         return bitpal_packed.bitpal_packed(
                             eq, qcodes, interpret=config.interpret, **kw

@@ -49,22 +49,10 @@ def _pair_kernel(q_ref, stream_ref, out_ref, *, q_len, s_len, k, unroll):
     def eq_window(t, c):
         w = t // 32
         b = jnp.asarray(t % 32).astype(jnp.uint32)
-        lo = jnp.zeros(tile, jnp.uint32)
-        hi = jnp.zeros(tile, jnp.uint32)
-        for j in range(n_sub):
-            b0 = stream_ref[j, c, w]
-            b1 = stream_ref[j, c, w + 1]
-            win = ((b0 >> b) | ((b1 << (jnp.uint32(31) - b)) << 1)) & bandmask32
-            o = pitch * j
-            if o == 0:
-                lo = win
-            elif o < 32:
-                lo = lo | (win << o)
-                if o + band_down >= 32:
-                    hi = hi | (win >> (32 - o))
-            else:
-                hi = hi | (win << (o - 32))
-        return lo, hi
+        wins = [bp.funnel_window(stream_ref[j, c, w], stream_ref[j, c, w + 1],
+                                 b, bandmask32) for j in range(n_sub)]
+        return bp.fold_window_fields(wins, pitch, band_down,
+                                     jnp.zeros(tile, jnp.uint32))
 
     def column2(t, sa, sb, scored=True):
         ea = eq_window(t, q_ref[0, 0, t])

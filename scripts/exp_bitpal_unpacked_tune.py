@@ -34,13 +34,17 @@ def main():
     eq32 = jax.device_put(pack.pack_eq(s, 32))
     kw = dict(match=M, mismatch=I, gap=G, read_len=n)
 
+    # unroll pinned explicitly on every variant: the 32-bit default became
+    # u20 after this sweep's first run, so relying on defaults would silently
+    # turn the u10 baselines into u20 duplicates on a re-run.
     variants = {
-        "31bit_r16u10": lambda qq: bitpal.bitpal(eq31, qq, **kw),
-        "32bit_r16u10": lambda qq: bitpal.bitpal(eq32, qq, word_bits=32, **kw),
+        "31bit_r16u10": lambda qq: bitpal.bitpal(eq31, qq, unroll=10, **kw),
+        "32bit_r16u10": lambda qq: bitpal.bitpal(
+            eq32, qq, word_bits=32, unroll=10, **kw),
         "32bit_r8u10": lambda qq: bitpal.bitpal(
-            eq32, qq, word_bits=32, rows_per_block=8, **kw),
+            eq32, qq, word_bits=32, rows_per_block=8, unroll=10, **kw),
         "32bit_r32u10": lambda qq: bitpal.bitpal(
-            eq32, qq, word_bits=32, rows_per_block=32, **kw),
+            eq32, qq, word_bits=32, rows_per_block=32, unroll=10, **kw),
         "32bit_r16u20": lambda qq: bitpal.bitpal(
             eq32, qq, word_bits=32, unroll=20, **kw),
     }

@@ -163,23 +163,14 @@ def ops_banded_packed(q_len=150, s_len=150, k=8):
     Wst = (s_len + 2 * k + 31) // 32 + 2
 
     def col(stream, t, c, *state):
+        # the kernel's own window builder (banded_packed.fold_window_fields)
+        # so the counted network IS the shipping one
         w = t // 32
         b = (t % 32).astype(jnp.uint32)
-        lo = jnp.zeros(TILE, jnp.uint32)
-        hi = jnp.zeros(TILE, jnp.uint32)
-        for j in range(n_sub):
-            b0 = stream[j, c, w]
-            b1 = stream[j, c, w + 1]
-            win = ((b0 >> b) | ((b1 << (jnp.uint32(31) - b)) << 1)) & bandmask32
-            o = pitch * j
-            if o == 0:
-                lo = win
-            elif o < 32:
-                lo = lo | (win << o)
-                if o + band_down >= 32:
-                    hi = hi | (win >> (32 - o))
-            else:
-                hi = hi | (win << (o - 32))
+        wins = [bp.funnel_window(stream[j, c, w], stream[j, c, w + 1],
+                                 b, bandmask32) for j in range(n_sub)]
+        lo, hi = bp.fold_window_fields(wins, pitch, band_down,
+                                       jnp.zeros(TILE, jnp.uint32))
         return bp._packed_update(state, lo, hi, consts, scored=True)
 
     stream = jnp.zeros((n_sub, 5, Wst) + TILE, jnp.uint32)
